@@ -84,11 +84,12 @@ def double_scalar_mul(a: int, A: Point, b: int, B: Point) -> Point:
 
 
 def multiscalar_mul(scalars, points) -> Point:
-    """Reference MSM: 4-bit Pippenger over Python ints.
+    """Reference MSM: Straus for small n, Pippenger beyond.
 
-    Upstream counterpart: curve25519-dalek backend/serial/scalar_mul/pippenger.rs.
-    Used as the oracle for the Pallas MSM kernel and as the CPU fallback for
-    small protocol-side MSMs.
+    Upstream counterpart: curve25519-dalek backend/serial/scalar_mul/
+    {straus.rs, pippenger.rs} with the same size cutover idea.  Used as the
+    oracle for the Pallas MSM kernel and as the CPU fallback for small
+    protocol-side MSMs.
     """
     scalars = [int(s) for s in scalars]
     points = list(points)
@@ -96,7 +97,9 @@ def multiscalar_mul(scalars, points) -> Point:
     n = len(scalars)
     if n == 0:
         return IDENTITY
-    w = 4 if n < 32 else (8 if n < 4096 else 12)
+    if n < 24:
+        return _straus(scalars, points)
+    w = 8 if n < 4096 else 12
     nbuckets = 1 << w
     mask = nbuckets - 1
     nwindows = (255 + w) // w
@@ -118,6 +121,26 @@ def multiscalar_mul(scalars, points) -> Point:
             running = add(running, buckets[j])
             total = add(total, running)
         acc = add(acc, total)
+    return acc
+
+
+def _straus(scalars: list[int], points: list[Point]) -> Point:
+    """Interleaved 4-bit windows with shared doublings (upstream Straus)."""
+    tables = []
+    for p in points:
+        t = [IDENTITY, p]
+        for i in range(2, 16):
+            t.append(add(t[i - 1], p))
+        tables.append(t)
+    acc = IDENTITY
+    for win in range(63, -1, -1):
+        if acc != IDENTITY:
+            acc = double(double(double(double(acc))))
+        shift = win * 4
+        for s, t in zip(scalars, tables):
+            d = (s >> shift) & 15
+            if d:
+                acc = add(acc, t[d])
     return acc
 
 

@@ -1,0 +1,56 @@
+"""The host↔device seam: every heavy group operation in the proof layer funnels
+through an Engine, mirroring how upstream funnels everything into
+`RistrettoPoint::vartime_multiscalar_mul` (SURVEY.md §2.9 P2/P3).
+
+The default engine computes on the CPU oracle; `zkvm_tpu.kernels.engine`
+registers a JAX/TPU engine that executes the same MSMs as Pippenger device
+kernels (and shards them over a mesh in `zkvm_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from ..oracle import ristretto
+
+
+class Engine:
+    """Abstract compute engine for protocol-layer group math."""
+
+    name = "oracle"
+
+    def msm(self, scalars, points) -> ristretto.RistrettoPoint:
+        """Variable-time multiscalar multiplication: sum_i scalars[i] * points[i]."""
+        return ristretto.multiscalar_mul(scalars, points)
+
+    def msm_is_identity(self, scalars, points) -> bool:
+        """Check sum_i s_i P_i == identity (the verifier's single mega-check)."""
+        return self.msm(scalars, points).is_identity()
+
+    def fold_points(self, s1, s2, P, Q) -> list[ristretto.RistrettoPoint]:
+        """Batched 2-term MSMs: [s1_i*P_i + s2_i*Q_i] — the IPP G/H fold step
+        (inner_product_proof.rs round fold).  The JAX engine runs this as one
+        batched double-scalar-mul kernel."""
+        from ..oracle import edwards
+        out = []
+        for a, b, p, q in zip(s1, s2, P, Q, strict=True):
+            out.append(
+                ristretto.RistrettoPoint(
+                    edwards.add(
+                        edwards.scalar_mul(a, p.ep), edwards.scalar_mul(b, q.ep)
+                    )
+                )
+            )
+        return out
+
+
+_default_engine: Engine = Engine()
+
+
+def get_engine() -> Engine:
+    return _default_engine
+
+
+def set_engine(engine: Engine) -> Engine:
+    global _default_engine
+    prev = _default_engine
+    _default_engine = engine
+    return prev
