@@ -1,0 +1,66 @@
+"""Device Pippenger MSM parity vs the oracle, and the JaxEngine seam."""
+
+import random
+
+import numpy as np
+import pytest
+
+from zkvm_tpu.constants import L
+from zkvm_tpu.kernels import msm as jmsm
+from zkvm_tpu.kernels.engine import JaxEngine
+from zkvm_tpu.oracle import edwards as oe
+from zkvm_tpu.oracle import ristretto
+
+
+def _rand_points(n, seed=0):
+    r = random.Random(seed)
+    return [
+        ristretto.RistrettoPoint.from_uniform_bytes(
+            r.getrandbits(512).to_bytes(64, "little")
+        )
+        for _ in range(n)
+    ]
+
+
+def test_signed_digits():
+    r = random.Random(1)
+    ks = [0, 1, L - 1, 2**255 % L] + [r.randrange(L) for _ in range(20)]
+    d = jmsm.signed_digits_radix_2w(ks, 16)
+    assert d.shape == (len(ks), 16)
+    assert (d < 2**15).all() and (d >= -(2**15)).all()
+    for j, k in enumerate(ks):
+        val = sum(int(d[j, i]) << (16 * i) for i in range(16))
+        assert val == k
+
+
+@pytest.mark.parametrize("n", [5, 300])
+def test_msm_device_parity(n):
+    r = random.Random(n)
+    pts = _rand_points(n, seed=n)
+    ks = [r.randrange(L) for _ in range(n)]
+    ks[0] = 0  # zero scalar must contribute nothing
+    expect = oe.multiscalar_mul(ks, [p.ep for p in pts])
+    got = jmsm.msm([p.ep for p in pts], ks, wbits=8)
+    gx, gy, gz, _ = got
+    ex, ey, ez, _ = expect
+    from zkvm_tpu.constants import P
+    assert (gx * ez - ex * gz) % P == 0
+    assert (gy * ez - ey * gz) % P == 0
+
+
+def test_jax_engine_end_to_end_rangeproof():
+    """Swap the JAX engine in and run a full rangeproof verify through it."""
+    from zkvm_tpu.proofs.engine import set_engine
+    from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+    from zkvm_tpu.proofs.rangeproof import RangeProof
+    from zkvm_tpu.proofs.transcript import ProofTranscript
+
+    pc, bp = PedersenGens(), BulletproofGens(16)
+    proof, V = RangeProof.prove_single(
+        bp, pc, ProofTranscript(b"jax engine"), 777, 99, 16
+    )
+    prev = set_engine(JaxEngine(min_msm_size=16, wbits=8))
+    try:
+        proof.verify_single(bp, pc, ProofTranscript(b"jax engine"), V, 16)
+    finally:
+        set_engine(prev)

@@ -1,0 +1,33 @@
+"""In-R1CS n-bit range gadget.
+
+Upstream counterpart: slingshot/spacesuit/src/range_proof.rs — per bit one
+multiplier (1-b)*b = 0 with a + b = 1, recomposition constraint at the end.
+This is the gadget form of the range check (BASELINE config 3); the standalone
+Bulletproofs RangeProof (proofs/rangeproof.py) is the aggregated native form.
+"""
+
+from __future__ import annotations
+
+from ..constants import L
+from ..proofs.r1cs.lc import LinearCombination, _as_lc
+
+
+def range_proof_gadget(cs, v, n: int, assignment: int | None = None):
+    """Constrain v (an LC) to be an n-bit unsigned integer.
+
+    Prover passes the integer assignment; verifier passes None.
+    """
+    v = _as_lc(v)
+    exp_2 = 1
+    for i in range(n):
+        bit = None if assignment is None else (assignment >> i) & 1
+        a, b, o = cs.allocate_multiplier(
+            None if bit is None else ((1 - bit) % L, bit)
+        )
+        # b is a bit: a*b = 0 with a = 1 - b
+        cs.constrain(_as_lc(o))
+        cs.constrain(a + b - 1)
+        v = v - b * exp_2
+        exp_2 = (exp_2 * 2) % L
+    # v == sum b_i 2^i
+    cs.constrain(v)

@@ -1,0 +1,78 @@
+"""JaxEngine: the device-accelerated implementation of the proof-layer Engine
+seam (zkvm_tpu/proofs/engine.py).
+
+Protocol code stays host-side Python over oracle RistrettoPoints; this engine
+packs point/scalar batches into limb arrays, runs the Pippenger MSM and fold
+kernels on the device, and unpacks the (single) resulting point.  Limb packs
+are cached on the point objects so static generator vectors convert once.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import L
+from ..oracle import edwards, ristretto
+from ..proofs.engine import Engine
+from . import msm as jmsm
+from . import point as jp
+from .limbs import int_to_limbs
+from .point import PointBatch
+
+
+def _point_limbs(p: ristretto.RistrettoPoint) -> np.ndarray:
+    """(4, 20) int32 for one point, cached on the object."""
+    cached = getattr(p, "_limbs", None)
+    if cached is None:
+        cached = np.stack([int_to_limbs(c) for c in p.ep])
+        p._limbs = cached
+    return cached
+
+
+def pack_point_list(points) -> PointBatch:
+    rows = np.stack([_point_limbs(p) for p in points])  # (n, 4, 20)
+    return PointBatch(
+        jnp.asarray(rows[:, 0]), jnp.asarray(rows[:, 1]),
+        jnp.asarray(rows[:, 2]), jnp.asarray(rows[:, 3]),
+    )
+
+
+def _unpack_single(out: PointBatch) -> ristretto.RistrettoPoint:
+    ep = jp.unpack_points(
+        PointBatch(out.x[None], out.y[None], out.z[None], out.t[None])
+    )[0]
+    return ristretto.RistrettoPoint(ep)
+
+
+class JaxEngine(Engine):
+    """MSMs and IPP folds on the TPU (or any JAX backend)."""
+
+    name = "jax"
+
+    def __init__(self, min_msm_size: int = 16, wbits: int = 16):
+        # below this size the host oracle is faster than a device round trip
+        self.min_msm_size = min_msm_size
+        self.wbits = wbits
+        self._oracle = Engine()
+
+    def msm(self, scalars, points) -> ristretto.RistrettoPoint:
+        scalars = [int(s) % L for s in scalars]
+        points = list(points)
+        if len(scalars) < self.min_msm_size:
+            return self._oracle.msm(scalars, points)
+        pts = pack_point_list(points)
+        digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, self.wbits))
+        pts, digits = jmsm.pad_batch(pts, digits)
+        return _unpack_single(jmsm.msm_device(pts, digits, self.wbits))
+
+    def fold_points(self, s1, s2, P, Q):
+        if len(P) < 4:
+            return self._oracle.fold_points(s1, s2, P, Q)
+        d1 = jnp.asarray(jp.scalars_to_radix16([int(x) % L for x in s1]))
+        d2 = jnp.asarray(jp.scalars_to_radix16([int(x) % L for x in s2]))
+        out = jp.double_scalar_mul(
+            d1, pack_point_list(P), d2, pack_point_list(Q)
+        )
+        eps = jp.unpack_points(out)
+        return [ristretto.RistrettoPoint(ep) for ep in eps]

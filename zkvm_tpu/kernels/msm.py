@@ -1,0 +1,178 @@
+"""Pippenger multiscalar multiplication on device.
+
+Upstream counterpart: curve25519-dalek backend/serial/scalar_mul/pippenger.rs.
+TPU re-design (SURVEY.md §7.3): the serial scatter-add over buckets becomes
+
+  1. signed radix-2^w digit decomposition (host, numpy);
+  2. per window: conditional point negation; sort point indices by |digit|
+     (lax.sort_key_val); gather; segmented inclusive scan with the Edwards
+     addition monoid (lax.associative_scan) so each digit-segment's sum lands
+     at its segment end; masked scatter of segment sums into the bucket array;
+  3. bucket fold: suffix-sum scan over buckets + log-depth tree reduction
+     computes sum_b b*bucket_b;
+  4. window combine: acc = 2^w * acc + window_total (w doublings each).
+
+Everything is fixed-shape and branchless, so XLA pipelines it onto the VPU.
+The window width w trades bucket-fold work (2*2^(w-1) adds/window) against
+per-point work (256/w windows): w=16 suits large n on TPU, smaller w suits
+small n or CPU test runs.  The multi-chip version shards points across
+devices and psums bucket totals (zkvm_tpu/parallel/sharded_msm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import point as jp
+from .point import PointBatch
+
+DEFAULT_WBITS = 16
+
+
+def num_windows(wbits: int) -> int:
+    return -(-256 // wbits)
+
+
+def signed_digits_radix_2w(scalars: list[int], wbits: int = DEFAULT_WBITS) -> np.ndarray:
+    """Canonical scalars -> (n, windows) int32 signed radix-2^w digits, LSB
+    first: d_i in [-2^(w-1), 2^(w-1)), borrow-carried.  The top digit stays in
+    range because scalars < ℓ < 2^253."""
+    n = len(scalars)
+    nw = num_windows(wbits)
+    mask = (1 << wbits) - 1
+    half = 1 << (wbits - 1)
+    chunks = np.empty((n, nw), dtype=np.int64)
+    for j, s in enumerate(scalars):
+        s = int(s)
+        for i in range(nw):
+            chunks[j, i] = (s >> (wbits * i)) & mask
+    carry = np.zeros(n, dtype=np.int64)
+    out = np.empty((n, nw), dtype=np.int64)
+    for i in range(nw):
+        d = chunks[:, i] + carry
+        carry = (d >= half).astype(np.int64)
+        out[:, i] = d - (carry << wbits)
+    assert (carry == 0).all(), "scalar out of range for signed recoding"
+    return out.astype(np.int32)
+
+
+def _segment_scan_combine(left, right):
+    """Segmented-sum monoid over (point, start_flag) — associative."""
+    (lp, lf), (rp, rf) = left, right
+    summed = jp.add(lp, rp)
+    p = jp.select(rf, rp, summed)
+    return (p, lf | rf)
+
+
+def _bucket_accumulate(points: PointBatch, absd: jnp.ndarray, nbuckets: int) -> PointBatch:
+    """Sum points sharing the same |digit| into buckets[0..nbuckets].
+
+    points: (n, 20) coords (already sign-adjusted); absd: (n,) int32 in
+    [0, nbuckets].  Returns bucket sums (nbuckets+1, 20): index b holds the
+    sum of points with |digit| == b (bucket 0 is unused garbage).
+    """
+    n = absd.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_key, perm = jax.lax.sort_key_val(absd, idx)
+    pts = jp.gather(points, perm)
+
+    start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_key[1:] != sorted_key[:-1]]
+    )
+    scanned, _ = jax.lax.associative_scan(
+        _segment_scan_combine, (pts, start), axis=0
+    )
+    is_end = jnp.concatenate(
+        [sorted_key[1:] != sorted_key[:-1], jnp.ones((1,), jnp.bool_)]
+    )
+    # scatter segment sums to buckets; non-ends go to a trash slot
+    target = jnp.where(is_end, sorted_key, nbuckets + 1)
+    buckets = jp.identity((nbuckets + 2,))
+    buckets = PointBatch(
+        buckets.x.at[target].set(scanned.x),
+        buckets.y.at[target].set(scanned.y),
+        buckets.z.at[target].set(scanned.z),
+        buckets.t.at[target].set(scanned.t),
+    )
+    return jp.gather(buckets, slice(0, nbuckets + 1))
+
+
+def _weighted_bucket_fold(buckets: PointBatch, nbuckets: int) -> PointBatch:
+    """sum_b b * buckets[b] via suffix sums (upstream's running-sum fold)."""
+    body = jp.gather(buckets, slice(1, nbuckets + 1))
+    rev = jp.gather(body, slice(None, None, -1))
+    suffix = jax.lax.associative_scan(
+        lambda a, b: jp.add(a, b), rev, axis=0
+    )
+    out = jp.tree_reduce(suffix)  # (1, 20) coords
+    return PointBatch(out.x[0], out.y[0], out.z[0], out.t[0])
+
+
+def window_total(points: PointBatch, digits_w: jnp.ndarray, wbits: int) -> PointBatch:
+    """One window's bucket accumulation + fold (also the per-chip unit of the
+    sharded MSM, which psums these across devices)."""
+    nbuckets = 1 << (wbits - 1)
+    sign = digits_w < 0
+    absd = jnp.abs(digits_w)
+    pts = jp.cneg(points, sign)
+    buckets = _bucket_accumulate(pts, absd, nbuckets)
+    return _weighted_bucket_fold(buckets, nbuckets)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def msm_device(points: PointBatch, digits: jnp.ndarray,
+               wbits: int = DEFAULT_WBITS) -> PointBatch:
+    """Full MSM: points (n,20) x digits (n, windows) -> one point.
+
+    Scans windows high-to-low: acc = 2^w*acc + window_total.
+    """
+    nw = num_windows(wbits)
+
+    def per_window(w, acc):
+        widx = nw - 1 - w
+        total = window_total(points, digits[:, widx], wbits)
+        acc = jax.lax.fori_loop(0, wbits, lambda _, a: jp.double(a), acc)
+        return jp.add(acc, total)
+
+    return jax.lax.fori_loop(0, nw, per_window, jp.identity(()))
+
+
+def pad_batch(pts: PointBatch, digits: jnp.ndarray) -> tuple[PointBatch, jnp.ndarray]:
+    """Pad n to the next power of two (>=16) with identity points and zero
+    digits, so jit compiles are shared across nearby MSM sizes."""
+    n = digits.shape[0]
+    size = 16
+    while size < n:
+        size *= 2
+    if size == n:
+        return pts, digits
+    pad = size - n
+    ident = jp.identity((pad,))
+    pts = PointBatch(
+        jnp.concatenate([pts.x, ident.x]), jnp.concatenate([pts.y, ident.y]),
+        jnp.concatenate([pts.z, ident.z]), jnp.concatenate([pts.t, ident.t]),
+    )
+    digits = jnp.concatenate(
+        [digits, jnp.zeros((pad, digits.shape[1]), jnp.int32)]
+    )
+    return pts, digits
+
+
+def msm(points_oracle, scalars: list[int], wbits: int = DEFAULT_WBITS):
+    """Host wrapper: oracle points + int scalars -> oracle point result."""
+    from ..oracle import edwards
+    n = len(scalars)
+    assert n == len(points_oracle)
+    if n == 0:
+        return edwards.IDENTITY
+    pts = jp.pack_points(points_oracle)
+    digits = jnp.asarray(signed_digits_radix_2w(scalars, wbits))
+    pts, digits = pad_batch(pts, digits)
+    out = msm_device(pts, digits, wbits)
+    return jp.unpack_points(
+        PointBatch(out.x[None], out.y[None], out.z[None], out.t[None])
+    )[0]

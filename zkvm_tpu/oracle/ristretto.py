@@ -19,7 +19,7 @@ from . import edwards, field
 class RistrettoPoint:
     """An element of the Ristretto255 group, internally an Edwards point."""
 
-    __slots__ = ("ep",)
+    __slots__ = ("ep", "_limbs")  # _limbs: device-pack cache (kernels/engine.py)
 
     def __init__(self, ep: edwards.Point):
         self.ep = ep

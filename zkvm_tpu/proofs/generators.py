@@ -22,12 +22,15 @@ class PedersenGens:
     """Commit(v, b) = v*B + b*B_blinding (upstream PedersenGens)."""
 
     __slots__ = ("B", "B_blinding")
+    _B_BLINDING_CACHE: RistrettoPoint | None = None
 
     def __init__(self):
         self.B = BASEPOINT
-        self.B_blinding = RistrettoPoint.hash_from_bytes_sha3_512(
-            BASEPOINT.compress()
-        )
+        if PedersenGens._B_BLINDING_CACHE is None:
+            PedersenGens._B_BLINDING_CACHE = (
+                RistrettoPoint.hash_from_bytes_sha3_512(BASEPOINT.compress())
+            )
+        self.B_blinding = PedersenGens._B_BLINDING_CACHE
 
     def commit(self, value: int, blinding: int) -> RistrettoPoint:
         from .engine import get_engine

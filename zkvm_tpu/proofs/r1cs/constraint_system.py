@@ -1,0 +1,57 @@
+"""Shared constraint-system machinery: flattening and metrics.
+
+Upstream counterpart: bulletproofs/src/r1cs/constraint_system.rs (the
+ConstraintSystem / RandomizedConstraintSystem traits and Metrics struct);
+the flattening logic lives in both prover.rs and verifier.rs upstream and is
+factored out here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...constants import L
+from .lc import LinearCombination
+
+
+@dataclass
+class Metrics:
+    """upstream r1cs::Metrics: sizes of the constraint system."""
+    multipliers: int
+    constraints: int
+    phase_one_constraints: int
+    phase_two_constraints: int
+
+
+def flatten_constraints(
+    constraints: list[LinearCombination], z: int, n: int, m: int
+) -> tuple[list[int], list[int], list[int], list[int], int]:
+    """Fold all constraints with powers of z into per-wire weight vectors.
+
+    Returns (wL, wR, wO, wV, wc) such that for an honest witness
+    <wL,a_L> + <wR,a_R> + <wO,a_O> - <wV,v> - wc = 0.
+    (Signs follow upstream: z^{q+1} weights; committed/constant terms negated.)
+    """
+    wL = [0] * n
+    wR = [0] * n
+    wO = [0] * n
+    wV = [0] * m
+    wc = 0
+    exp_z = z % L
+    for lc in constraints:
+        for var, coeff in lc.terms:
+            w = exp_z * coeff % L
+            if var.kind == "ml":
+                wL[var.index] = (wL[var.index] + w) % L
+            elif var.kind == "mr":
+                wR[var.index] = (wR[var.index] + w) % L
+            elif var.kind == "mo":
+                wO[var.index] = (wO[var.index] + w) % L
+            elif var.kind == "v":
+                wV[var.index] = (wV[var.index] - w) % L
+            elif var.kind == "one":
+                wc = (wc - w) % L
+            else:  # pragma: no cover
+                raise ValueError(f"unknown variable kind {var.kind}")
+        exp_z = exp_z * z % L
+    return wL, wR, wO, wV, wc

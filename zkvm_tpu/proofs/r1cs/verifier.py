@@ -1,0 +1,231 @@
+"""R1CS verifier (upstream bulletproofs/src/r1cs/verifier.rs).
+
+Replays the constraint system symbolically (no witness), reproduces the
+transcript, and folds the whole verification into ONE MSM == identity
+(the same seam the rangeproof verifier uses; batchable across proofs).
+"""
+
+from __future__ import annotations
+
+from ...constants import L
+from ...oracle import scalar
+from ...oracle.ristretto import RistrettoPoint
+from ..engine import get_engine
+from ..errors import R1CSError, VerificationError
+from ..generators import BulletproofGens, PedersenGens
+from ..transcript import ProofTranscript
+from ..util import next_power_of_two, powers
+from .constraint_system import Metrics, flatten_constraints
+from .lc import LinearCombination, Variable, _as_lc
+from .proof import R1CSProof
+
+
+class Verifier:
+    """ConstraintSystem implementation without a witness."""
+
+    def __init__(self, transcript: ProofTranscript):
+        self.transcript = transcript
+        transcript.r1cs_domain_sep()
+        self.num_v = 0
+        self.V: list[bytes] = []
+        self.num_multipliers = 0
+        self.constraints: list[LinearCombination] = []
+        self.deferred: list = []
+        self.pending_multiplier: int | None = None
+        self.num_phase1_multipliers: int | None = None
+        self._num_phase1_constraints: int | None = None
+        self._in_phase2 = False
+
+    def commit(self, V: bytes) -> Variable:
+        j = self.num_v
+        self.num_v += 1
+        self.V.append(V)
+        self.transcript.append_point(b"V", V)
+        return Variable.committed(j)
+
+    # --------------------------------------------------- ConstraintSystem API
+    def multiply(self, left, right):
+        left = _as_lc(left)
+        right = _as_lc(right)
+        i = self.num_multipliers
+        self.num_multipliers += 1
+        vl = Variable.multiplier_left(i)
+        vr = Variable.multiplier_right(i)
+        vo = Variable.multiplier_output(i)
+        self.constrain(left - vl)
+        self.constrain(right - vr)
+        return vl, vr, vo
+
+    def allocate(self, assignment=None) -> Variable:
+        if self.pending_multiplier is None:
+            i = self.num_multipliers
+            self.num_multipliers += 1
+            self.pending_multiplier = i
+            return Variable.multiplier_left(i)
+        i = self.pending_multiplier
+        self.pending_multiplier = None
+        return Variable.multiplier_right(i)
+
+    def allocate_multiplier(self, assignment=None):
+        i = self.num_multipliers
+        self.num_multipliers += 1
+        return (
+            Variable.multiplier_left(i),
+            Variable.multiplier_right(i),
+            Variable.multiplier_output(i),
+        )
+
+    def constrain(self, lc):
+        self.constraints.append(_as_lc(lc).simplify())
+
+    def specify_randomized_constraints(self, closure):
+        self.deferred.append(closure)
+
+    def challenge_scalar(self, label: bytes) -> int:
+        if not self._in_phase2:
+            raise R1CSError(
+                "challenges are only available inside randomized constraints"
+            )
+        return self.transcript.challenge_scalar(label)
+
+    def metrics(self) -> Metrics:
+        p1 = (
+            self._num_phase1_constraints
+            if self._num_phase1_constraints is not None
+            else len(self.constraints)
+        )
+        return Metrics(
+            multipliers=self.num_multipliers,
+            constraints=len(self.constraints),
+            phase_one_constraints=p1,
+            phase_two_constraints=len(self.constraints) - p1,
+        )
+
+    # ----------------------------------------------------------------- verify
+    def verification_job(
+        self, proof: R1CSProof, bp_gens: BulletproofGens, pc_gens: PedersenGens
+    ) -> tuple[list[int], list[RistrettoPoint]]:
+        """Emit the (scalars, points) of the mega-check MSM (batching seam)."""
+        ts = self.transcript
+        ts.append_u64(b"m", self.num_v)
+
+        ts.validate_and_append_point(b"A_I1", proof.A_I1)
+        ts.validate_and_append_point(b"A_O1", proof.A_O1)
+        ts.validate_and_append_point(b"S1", proof.S1)
+
+        self.num_phase1_multipliers = n1 = self.num_multipliers
+        self._num_phase1_constraints = len(self.constraints)
+        if not self.deferred:
+            ts.r1cs_1phase_domain_sep()
+        else:
+            ts.r1cs_2phase_domain_sep()
+            self._in_phase2 = True
+            deferred, self.deferred = self.deferred, []
+            for closure in deferred:
+                closure(self)
+        self.pending_multiplier = None
+
+        # phase-2 commitment points may be the identity: plain append
+        ts.append_point(b"A_I2", proof.A_I2)
+        ts.append_point(b"A_O2", proof.A_O2)
+        ts.append_point(b"S2", proof.S2)
+
+        u = ts.challenge_scalar(b"u")
+        y = ts.challenge_scalar(b"y")
+        z = ts.challenge_scalar(b"z")
+
+        n = self.num_multipliers
+        n2 = n - n1
+        padded_n = next_power_of_two(n)
+        pad = padded_n - n
+        if bp_gens.gens_capacity < padded_n:
+            raise R1CSError("invalid generators length")
+
+        wL, wR, wO, wV, wc = flatten_constraints(
+            self.constraints, z, n, self.num_v
+        )
+
+        for i in (1, 3, 4, 5, 6):
+            ts.validate_and_append_point(
+                f"T_{i}".encode(), getattr(proof, f"T_{i}")
+            )
+
+        x = ts.challenge_scalar(b"x")
+        ts.append_scalar(b"t_x", proof.t_x)
+        ts.append_scalar(b"t_x_blinding", proof.t_x_blinding)
+        ts.append_scalar(b"e_blinding", proof.e_blinding)
+        w = ts.challenge_scalar(b"w")
+
+        # verifier-local weight combining the t-check and P-check
+        c = ts.build_rng().finalize(b"\x00" * 32).random_scalar()
+
+        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, ts)
+        s_inv = list(reversed(s))
+        a, b = proof.ipp_proof.a % L, proof.ipp_proof.b % L
+
+        y_inv = scalar.invert(y)
+        exp_y_inv = powers(y_inv, padded_n)
+
+        wLp = wL + [0] * pad
+        wRp = wR + [0] * pad
+        wOp = wO + [0] * pad
+        yneg_wR = [exp_y_inv[i] * wRp[i] % L for i in range(padded_n)]
+        delta = scalar.inner_product(yneg_wR[:n], wL)
+
+        fac = [1] * n1 + [u] * (n2 + pad)
+        g_scalars = [
+            fac[i] * ((x * yneg_wR[i] - a * s[i]) % L) % L
+            for i in range(padded_n)
+        ]
+        h_scalars = [
+            fac[i]
+            * ((exp_y_inv[i] * ((x * wLp[i] + wOp[i] - b * s_inv[i]) % L) - 1) % L)
+            % L
+            for i in range(padded_n)
+        ]
+
+        xx = x * x % L
+        basepoint_scalar = (
+            w * ((proof.t_x - a * b) % L)
+            + c * ((xx * ((wc + delta) % L) - proof.t_x) % L)
+        ) % L
+
+        scalars = (
+            [
+                x,                      # A_I1
+                xx,                     # A_O1
+                xx * x % L,             # S1
+                u * x % L,              # A_I2
+                u * xx % L,             # A_O2
+                u * xx % L * x % L,     # S2
+                c * x % L,              # T_1
+                c * pow(x, 3, L) % L,   # T_3
+                c * pow(x, 4, L) % L,   # T_4
+                c * pow(x, 5, L) % L,   # T_5
+                c * pow(x, 6, L) % L,   # T_6
+            ]
+            + [c * xx % L * wVj % L for wVj in wV]          # V_j
+            + list(u_sq) + list(u_inv_sq)                   # L_vec, R_vec
+            + [(-proof.e_blinding - c * proof.t_x_blinding) % L,  # B_blinding
+               basepoint_scalar]                             # B
+            + g_scalars
+            + h_scalars
+        )
+        gens = bp_gens.share(0)
+        points = (
+            [RistrettoPoint.decompress(p) for p in proof.points()]
+            + [RistrettoPoint.decompress(V) for V in self.V]
+            + [RistrettoPoint.decompress(x_) for x_ in proof.ipp_proof.L_vec]
+            + [RistrettoPoint.decompress(x_) for x_ in proof.ipp_proof.R_vec]
+            + [pc_gens.B_blinding, pc_gens.B]
+            + gens.G(padded_n)
+            + gens.H(padded_n)
+        )
+        return scalars, points
+
+    def verify(
+        self, proof: R1CSProof, pc_gens: PedersenGens, bp_gens: BulletproofGens
+    ) -> None:
+        scalars, points = self.verification_job(proof, bp_gens, pc_gens)
+        if not get_engine().msm_is_identity(scalars, points):
+            raise VerificationError("R1CS proof verification failed")

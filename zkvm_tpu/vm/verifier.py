@@ -1,0 +1,86 @@
+"""Verifier driver: verify a serialized transaction.
+
+Upstream counterpart: slingshot/zkvm/src/verifier.rs (SURVEY.md §3.4):
+replay the VM with opaque commitments, collect deferred point ops (taproot,
+signid/signtag, unblind, plus the tx signature), verify the R1CS proof, and
+fold every point op into one batched MSM.  `verification_jobs` exposes the
+seam used to batch across a whole block of txs (sharded in zkvm_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from ..constants import L, LABEL_ZKVM_R1CS, LABEL_ZKVM_TXID
+from ..crypto.musig import Multikey
+from ..crypto.starsig import Signature, VerificationKey, verify_op
+from ..oracle.merlin import Transcript
+from ..proofs.generators import BulletproofGens, PedersenGens
+from ..proofs.r1cs import R1CSProof
+from ..proofs.r1cs import Verifier as R1CSVerifier
+from ..proofs.transcript import ProofTranscript
+from .constraints import Commitment
+from .errors import UnsignedTx, VMError
+from .point_ops import PointOp, verify_batch
+from .tx import Tx, VerifiedTx
+from .vm import VM
+
+
+class _VerifierDelegate:
+    is_prover = False
+
+    def __init__(self, cs: R1CSVerifier):
+        self.cs = cs
+        self._committed: dict[bytes, object] = {}
+
+    def commit_variable(self, commitment: Commitment):
+        cached = self._committed.get(commitment.point)
+        if cached is not None:
+            return cached
+        var = self.cs.commit(commitment.point)
+        self._committed[commitment.point] = var
+        return var
+
+
+def precompute_tx(tx: Tx, bp_gens: BulletproofGens):
+    """Replay the VM and emit everything needed for (batched) verification:
+    (VerifiedTx, point_ops, r1cs (scalars, points) job)."""
+    pc_gens = PedersenGens()
+    transcript = ProofTranscript(LABEL_ZKVM_R1CS)
+    cs = R1CSVerifier(transcript)
+    delegate = _VerifierDelegate(cs)
+
+    vm = VM(tx.header, tx.program, delegate)
+    vm.run()
+    vm.check_stack_clean()
+    txid = vm.finalize_txid()
+
+    point_ops = list(vm.point_ops)
+
+    # tx signature over txid by the aggregated signtx predicate keys
+    if vm.signtx_keys:
+        sig = Signature.from_bytes(tx.signature)
+        multikey = Multikey([VerificationKey(p) for p in vm.signtx_keys])
+        agg = multikey.aggregated_key()
+        sig_transcript = Transcript(LABEL_ZKVM_TXID)
+        sig_transcript.append_message(b"txid", txid)
+        point_ops.append(verify_op(sig, sig_transcript, agg))
+    elif tx.signature != b"\x00" * 64:
+        raise UnsignedTx("unexpected signature on unsigned tx")
+
+    proof = R1CSProof.from_bytes(tx.proof)
+    r1cs_job = cs.verification_job(proof, bp_gens, pc_gens)
+
+    verified = VerifiedTx(
+        header=tx.header, id=txid, log=vm.txlog, fee=vm.total_fee
+    )
+    return verified, point_ops, r1cs_job
+
+
+def verify_tx(tx: Tx, bp_gens: BulletproofGens) -> VerifiedTx:
+    """Full single-tx verification (upstream Verifier::verify_tx)."""
+    verified, point_ops, (scalars, points) = precompute_tx(tx, bp_gens)
+    from ..proofs.engine import get_engine
+    if not get_engine().msm_is_identity(scalars, points):
+        from ..proofs.errors import VerificationError
+        raise VerificationError("R1CS proof verification failed")
+    verify_batch(point_ops)
+    return verified
