@@ -1,18 +1,19 @@
 """Test configuration.
 
 Tests run on CPU with 8 virtual devices so multi-chip sharding paths
-(zkvm_tpu.parallel) compile and execute without TPU hardware, per the
-driver's dryrun contract.  Must be set before jax is imported anywhere.
+(zkvm_tpu.parallel) compile and execute without TPU hardware, and so
+concurrent test runs don't contend for the single real chip.
+
+NOTE: this environment's axon TPU plugin force-overrides the JAX_PLATFORMS
+env var (jax.config.jax_platforms comes up as "axon,cpu" regardless), so we
+must use jax.config.update *before the backend initializes* — env vars and
+XLA_FLAGS are silently ignored.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env points at the TPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import random
 

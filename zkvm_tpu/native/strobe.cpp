@@ -1,0 +1,149 @@
+// Native host path for Keccak-f[1600] + STROBE-128.
+//
+// Upstream counterpart: the `keccak` crate + merlin/src/strobe.rs — the
+// byte-granular sequential primitive under every Merlin transcript.  The
+// Python oracle (zkvm_tpu/oracle/{keccak,strobe}.py) is the bit-exact
+// reference; this module is the fast path used by transcript-heavy flows
+// (tx verification replays, generator derivation, Merkle hashing).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+static const uint64_t RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static inline uint64_t rotl(uint64_t x, int n) {
+    return (x << n) | (x >> (64 - n));
+}
+
+extern "C" void keccak_f1600(uint8_t state[200]) {
+    uint64_t a[25];
+    std::memcpy(a, state, 200);
+    for (int rnd = 0; rnd < 24; rnd++) {
+        // theta
+        uint64_t c[5], d[5];
+        for (int x = 0; x < 5; x++)
+            c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+        for (int x = 0; x < 5; x++)
+            d[x] = c[(x + 4) % 5] ^ rotl(c[(x + 1) % 5], 1);
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++) a[x + 5 * y] ^= d[x];
+        // rho + pi
+        static const int ROT[5][5] = {
+            {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+            {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14}};
+        uint64_t b[25];
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl(a[x + 5 * y], ROT[x][y]);
+        // chi
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                a[x + 5 * y] =
+                    b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+        // iota
+        a[0] ^= RC[rnd];
+    }
+    std::memcpy(state, a, 200);
+}
+
+// ---------------------------------------------------------------- STROBE-128
+
+static const int STROBE_R = 166;
+enum {
+    FLAG_I = 1, FLAG_A = 2, FLAG_C = 4, FLAG_T = 8, FLAG_M = 16, FLAG_K = 32
+};
+
+struct Strobe {
+    uint8_t state[200];
+    uint8_t pos;
+    uint8_t pos_begin;
+    uint8_t cur_flags;
+};
+
+static void run_f(Strobe* s) {
+    s->state[s->pos] ^= s->pos_begin;
+    s->state[s->pos + 1] ^= 0x04;
+    s->state[STROBE_R + 1] ^= 0x80;
+    keccak_f1600(s->state);
+    s->pos = 0;
+    s->pos_begin = 0;
+}
+
+static void absorb(Strobe* s, const uint8_t* data, size_t len) {
+    for (size_t i = 0; i < len; i++) {
+        s->state[s->pos] ^= data[i];
+        if (++s->pos == STROBE_R) run_f(s);
+    }
+}
+
+static void overwrite(Strobe* s, const uint8_t* data, size_t len) {
+    for (size_t i = 0; i < len; i++) {
+        s->state[s->pos] = data[i];
+        if (++s->pos == STROBE_R) run_f(s);
+    }
+}
+
+static void squeeze(Strobe* s, uint8_t* out, size_t len) {
+    for (size_t i = 0; i < len; i++) {
+        out[i] = s->state[s->pos];
+        s->state[s->pos] = 0;
+        if (++s->pos == STROBE_R) run_f(s);
+    }
+}
+
+static void begin_op(Strobe* s, uint8_t flags, int more) {
+    if (more) return;  // caller guarantees flag continuity (as upstream)
+    uint8_t old_begin = s->pos_begin;
+    s->pos_begin = s->pos + 1;
+    s->cur_flags = flags;
+    uint8_t hdr[2] = {old_begin, flags};
+    absorb(s, hdr, 2);
+    if ((flags & (FLAG_C | FLAG_K)) && s->pos != 0) run_f(s);
+}
+
+extern "C" {
+
+int strobe_sizeof() { return (int)sizeof(Strobe); }
+
+void strobe_init(Strobe* s, const uint8_t* label, size_t label_len) {
+    std::memset(s, 0, sizeof(Strobe));
+    const uint8_t iv[6] = {1, STROBE_R + 2, 1, 0, 1, 96};
+    std::memcpy(s->state, iv, 6);
+    std::memcpy(s->state + 6, "STROBEv1.0.2", 12);
+    keccak_f1600(s->state);
+    begin_op(s, FLAG_M | FLAG_A, 0);
+    absorb(s, label, label_len);
+}
+
+void strobe_meta_ad(Strobe* s, const uint8_t* data, size_t len, int more) {
+    begin_op(s, FLAG_M | FLAG_A, more);
+    absorb(s, data, len);
+}
+
+void strobe_ad(Strobe* s, const uint8_t* data, size_t len, int more) {
+    begin_op(s, FLAG_A, more);
+    absorb(s, data, len);
+}
+
+void strobe_prf(Strobe* s, uint8_t* out, size_t len, int more) {
+    begin_op(s, FLAG_I | FLAG_A | FLAG_C, more);
+    squeeze(s, out, len);
+}
+
+void strobe_key(Strobe* s, const uint8_t* data, size_t len, int more) {
+    begin_op(s, FLAG_A | FLAG_C, more);
+    overwrite(s, data, len);
+}
+
+}  // extern "C"

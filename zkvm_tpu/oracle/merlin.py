@@ -22,7 +22,9 @@ class Transcript:
     __slots__ = ("strobe",)
 
     def __init__(self, label: bytes):
-        self.strobe = Strobe128(MERLIN_PROTOCOL_LABEL)
+        # fast C++ STROBE when available, bit-exact Python oracle otherwise
+        from ..native import make_strobe
+        self.strobe = make_strobe(MERLIN_PROTOCOL_LABEL)
         self.append_message(MERLIN_DOMSEP_LABEL, label)
 
     @classmethod
