@@ -31,6 +31,19 @@ BASELINE_VERIFIES_PER_SEC = 1000.0
 
 def main():
     import jax
+
+    # persistent compilation cache: MSM kernel compiles are minutes-scale on
+    # the axon TPU; cache them across bench runs
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 

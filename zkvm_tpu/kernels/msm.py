@@ -124,12 +124,11 @@ def window_total(points: PointBatch, digits_w: jnp.ndarray, wbits: int) -> Point
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def msm_device(points: PointBatch, digits: jnp.ndarray,
-               wbits: int = DEFAULT_WBITS) -> PointBatch:
-    """Full MSM: points (n,20) x digits (n, windows) -> one point.
-
-    Scans windows high-to-low: acc = 2^w*acc + window_total.
-    """
+def msm_device_looped(points: PointBatch, digits: jnp.ndarray,
+                      wbits: int = DEFAULT_WBITS) -> PointBatch:
+    """Loop-based variant (fori over windows).  Compiles small but on the
+    axon TPU tunnel every loop iteration pays a host round trip, so the
+    vectorized msm_device below is the production path."""
     nw = num_windows(wbits)
 
     def per_window(w, acc):
@@ -139,6 +138,118 @@ def msm_device(points: PointBatch, digits: jnp.ndarray,
         return jp.add(acc, total)
 
     return jax.lax.fori_loop(0, nw, per_window, jp.identity(()))
+
+
+def _all_window_totals(points: PointBatch, digits: jnp.ndarray,
+                       wbits: int) -> PointBatch:
+    """Every window's bucket accumulation + fold, vectorized over the window
+    axis in ONE fixed-shape computation (no loops): returns (nw, 20) coords.
+    """
+    nw = num_windows(wbits)
+    nbuckets = 1 << (wbits - 1)
+    n = digits.shape[0]
+
+    dT = digits.T                                   # (nw, n)
+    sign = dT < 0
+    absd = jnp.abs(dT)
+
+    # per-window signed points: (nw, n, 20)
+    bx = jnp.broadcast_to(points.x, (nw,) + points.x.shape)
+    by = jnp.broadcast_to(points.y, (nw,) + points.y.shape)
+    bz = jnp.broadcast_to(points.z, (nw,) + points.z.shape)
+    bt = jnp.broadcast_to(points.t, (nw,) + points.t.shape)
+    pts = PointBatch(bx, by, bz, bt)
+    pts = jp.cneg(pts, sign)
+
+    # batched sort by |digit| (one variadic sort op)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nw, n))
+    sorted_key, perm = jax.lax.sort_key_val(absd, idx, dimension=1)
+    permx = perm[..., None]
+    pts = PointBatch(
+        jnp.take_along_axis(pts.x, permx, axis=1),
+        jnp.take_along_axis(pts.y, permx, axis=1),
+        jnp.take_along_axis(pts.z, permx, axis=1),
+        jnp.take_along_axis(pts.t, permx, axis=1),
+    )
+
+    # segmented scan along axis 1 (all windows at once)
+    ones = jnp.ones((nw, 1), jnp.bool_)
+    start = jnp.concatenate([ones, sorted_key[:, 1:] != sorted_key[:, :-1]], axis=1)
+    scanned, _ = jax.lax.associative_scan(
+        _segment_scan_combine, (pts, start), axis=1
+    )
+    is_end = jnp.concatenate(
+        [sorted_key[:, 1:] != sorted_key[:, :-1], ones], axis=1
+    )
+    # flat scatter into per-window bucket arrays
+    stride = nbuckets + 2
+    target = jnp.where(is_end, sorted_key, nbuckets + 1)
+    window_ids = jax.lax.broadcasted_iota(jnp.int32, (nw, n), 0)
+    flat_target = (window_ids * stride + target).reshape(-1)
+    buckets = jp.identity((nw * stride,))
+    buckets = PointBatch(
+        buckets.x.at[flat_target].set(scanned.x.reshape(-1, 20)),
+        buckets.y.at[flat_target].set(scanned.y.reshape(-1, 20)),
+        buckets.z.at[flat_target].set(scanned.z.reshape(-1, 20)),
+        buckets.t.at[flat_target].set(scanned.t.reshape(-1, 20)),
+    )
+    buckets = PointBatch(
+        buckets.x.reshape(nw, stride, 20)[:, 1: nbuckets + 1],
+        buckets.y.reshape(nw, stride, 20)[:, 1: nbuckets + 1],
+        buckets.z.reshape(nw, stride, 20)[:, 1: nbuckets + 1],
+        buckets.t.reshape(nw, stride, 20)[:, 1: nbuckets + 1],
+    )  # (nw, nbuckets, 20), buckets 1..nbuckets
+
+    # weighted fold: suffix sums along the bucket axis, then tree-reduce
+    rev = PointBatch(
+        buckets.x[:, ::-1], buckets.y[:, ::-1],
+        buckets.z[:, ::-1], buckets.t[:, ::-1],
+    )
+    suffix = jax.lax.associative_scan(
+        lambda a, b: jp.add(a, b), rev, axis=1
+    )
+    m = nbuckets
+    while m > 1:
+        m //= 2
+        suffix = jp.add(
+            PointBatch(suffix.x[:, :m], suffix.y[:, :m],
+                       suffix.z[:, :m], suffix.t[:, :m]),
+            PointBatch(suffix.x[:, m: 2 * m], suffix.y[:, m: 2 * m],
+                       suffix.z[:, m: 2 * m], suffix.t[:, m: 2 * m]),
+        )
+    return PointBatch(
+        suffix.x[:, 0], suffix.y[:, 0], suffix.z[:, 0], suffix.t[:, 0]
+    )  # (nw, 20)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def msm_device_vectorized(points: PointBatch, digits: jnp.ndarray,
+                          wbits: int = DEFAULT_WBITS) -> PointBatch:
+    """Loop-free MSM: all windows' bucket work vectorized in one shot; the
+    window combine (acc = 2^w*acc + total_w, high to low) is unrolled — one
+    device dispatch, no host round trips mid-kernel."""
+    nw = num_windows(wbits)
+    totals = _all_window_totals(points, digits, wbits)
+
+    acc = jp.gather(totals, nw - 1)
+    for w in range(nw - 2, -1, -1):
+        for _ in range(wbits):
+            acc = jp.double(acc)
+        acc = jp.add(acc, jp.gather(totals, w))
+    return acc
+
+
+def msm_device(points: PointBatch, digits: jnp.ndarray,
+               wbits: int = DEFAULT_WBITS) -> PointBatch:
+    """Full MSM: points (n,20) x digits (n, windows) -> one point.
+
+    Backend-adaptive: on TPU the loop-free vectorized kernel (device loops
+    cost a host round trip per iteration through the axon tunnel); on CPU
+    the fori-loop kernel (unrolled graphs compile pathologically slowly in
+    the XLA CPU backend, loops are fine)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return msm_device_vectorized(points, digits, wbits)
+    return msm_device_looped(points, digits, wbits)
 
 
 def pad_batch(pts: PointBatch, digits: jnp.ndarray) -> tuple[PointBatch, jnp.ndarray]:
