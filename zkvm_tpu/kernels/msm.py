@@ -134,7 +134,10 @@ def msm_device_looped(points: PointBatch, digits: jnp.ndarray,
     def per_window(w, acc):
         widx = nw - 1 - w
         total = window_total(points, digits[:, widx], wbits)
-        acc = jax.lax.fori_loop(0, wbits, lambda _, a: jp.double(a), acc)
+        # unrolled doubling chain: device-loop iterations cost a host round
+        # trip on the axon tunnel, and these are tiny single-point ops
+        for _ in range(wbits):
+            acc = jp.double(acc)
         return jp.add(acc, total)
 
     return jax.lax.fori_loop(0, nw, per_window, jp.identity(()))
