@@ -102,3 +102,28 @@ def test_short_ids():
     assert len(n1.short_id(h)) == 6
     assert n1.short_id(h) != n2.short_id(h)
     assert n1.short_id(h) == ShortIDNonce(b"seed", 1).short_id(h)
+
+
+def test_protocol_messages_round_trip():
+    from zkvm_tpu.chain.block import BlockHeader
+    from zkvm_tpu.chain.protocol import (
+        Blocks, GetBlocks, GetInventory, GetMempoolTxs, Inventory,
+        MempoolTxs, encode_message, inventory_for, parse_message,
+    )
+
+    tip = BlockHeader.make_initial(1234, b"\x11" * 32)
+    inv = inventory_for(tip, [b"\xaa" * 32, b"\xbb" * 32], b"seed", 7)
+    for msg in (
+        GetInventory(1, 7),
+        inv,
+        GetBlocks(b"\x22" * 32),
+        Blocks([tip]),
+        GetMempoolTxs(7, inv.mempool_short_ids),
+        MempoolTxs([b"tx-bytes-1", b"tx-bytes-2"]),
+    ):
+        wire = encode_message(msg)
+        back = parse_message(wire)
+        assert encode_message(back) == wire, type(msg).__name__
+    # short ids depend on the nonce
+    inv2 = inventory_for(tip, [b"\xaa" * 32], b"seed", 8)
+    assert inv2.mempool_short_ids[0] != inv.mempool_short_ids[0]
