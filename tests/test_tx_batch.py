@@ -1,0 +1,54 @@
+"""BASELINE config 4: batched full-tx verification on the sharded mesh."""
+
+import random
+
+import pytest
+
+from zkvm_tpu.apps import Token, issue_program
+from zkvm_tpu.crypto.starsig import VerificationKey
+from zkvm_tpu.parallel import make_mesh
+from zkvm_tpu.parallel.tx_batch import verify_tx_batch
+from zkvm_tpu.proofs.errors import VerificationError
+from zkvm_tpu.proofs.generators import BulletproofGens
+from zkvm_tpu.vm import Tx, TxHeader, build_tx
+
+BP = BulletproofGens(1024)
+HEADER = TxHeader(1, 0, 10_000)
+
+
+def _make_txs(k):
+    txs = []
+    for i in range(k):
+        secret = 1000 + i
+        pred = VerificationKey.from_secret(secret).point
+        token = Token(pred, b"batch-%d" % i)
+        prog, _, _ = issue_program(token, 10 + i, pred)
+        tx, _ = build_tx(prog, HEADER, BP, {pred: secret})
+        txs.append(Tx.from_bytes(tx.to_bytes()))
+    return txs
+
+
+def test_tx_batch_single_device():
+    txs = _make_txs(3)
+    verified = verify_tx_batch(txs, BP, mesh=None)
+    assert len(verified) == 3
+    assert all(len(v.outputs) == 1 for v in verified)
+
+
+def test_tx_batch_on_mesh_and_poisoned():
+    txs = _make_txs(3)
+    mesh = make_mesh(dp=2, tp=4)
+    verified = verify_tx_batch(txs, BP, mesh=mesh, wbits=8)
+    assert len(verified) == 3
+
+    # tamper with one signature byte: batch must fail
+    raw = bytearray(txs[1].to_bytes())
+    # signature field follows the program; flip a byte near the end of sig
+    from zkvm_tpu.vm.tx import Tx as TxT
+    t = TxT.from_bytes(bytes(raw))
+    sig = bytearray(t.signature)
+    sig[5] ^= 1
+    t.signature = bytes(sig)
+    bad_txs = [txs[0], TxT.from_bytes(t.to_bytes()), txs[2]]
+    with pytest.raises(VerificationError):
+        verify_tx_batch(bad_txs, BP, mesh=mesh, wbits=8)
