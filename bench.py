@@ -28,7 +28,7 @@ import time
 N_LOG = int(os.environ.get("BENCH_LOG_N", "14"))
 WBITS = int(os.environ.get("BENCH_WBITS", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
-ATTEMPT_TIMEOUT = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+ATTEMPT_TIMEOUT = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
 POINTS_PER_VERIFY = 147  # single 64-bit rangeproof mega-check MSM size
 BASELINE_VERIFIES_PER_SEC = 1000.0
 
