@@ -16,7 +16,7 @@ attempt fails, a host-path measurement (prove/verify wall clock through the
 oracle engine) is emitted instead so the driver always gets a JSON line.
 
 Env knobs: BENCH_LOG_N (default 14), BENCH_WBITS (default 16),
-BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 1500).
+BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 900).
 """
 
 import json
