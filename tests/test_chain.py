@@ -127,3 +127,50 @@ def test_protocol_messages_round_trip():
     # short ids depend on the nonce
     inv2 = inventory_for(tip, [b"\xaa" * 32], b"seed", 8)
     assert inv2.mempool_short_ids[0] != inv.mempool_short_ids[0]
+
+
+def test_mempool_evicts_lowest_feerate_not_lowest_fee(monkeypatch):
+    """Eviction victim must be the lowest fee/size ratio, not the lowest
+    absolute fee (upstream slingshot mempool ordering)."""
+    from zkvm_tpu.chain import mempool as mp
+    from zkvm_tpu.vm.tx import TxHeader, VerifiedTx
+
+    class FakeTx:
+        def __init__(self, tag: bytes, size: int):
+            self.tag = tag
+            self.size = size
+
+        def to_bytes(self):
+            return self.tag.ljust(self.size, b"\0")
+
+    fees = {}
+
+    def fake_verify(tx, bp_gens):
+        return VerifiedTx(
+            header=TxHeader(0, 0, 2**63), id=tx.tag, log=[], fee=fees[tx.tag]
+        )
+
+    monkeypatch.setattr(mp, "verify_tx", fake_verify)
+    pool = mp.Mempool(bp_gens=None, max_size=2)
+
+    # big low-rate tx with HIGH absolute fee: rate 100/1000 = 0.1
+    fees[b"bigslow"] = 100
+    pool.append(FakeTx(b"bigslow", 1000))
+    # small tx with LOW absolute fee but high rate: 10/10 = 1.0
+    fees[b"smallfast"] = 10
+    pool.append(FakeTx(b"smallfast", 10))
+
+    # incoming rate 50/100 = 0.5: must evict bigslow (lowest rate), and the
+    # min-fee bug would instead pick smallfast
+    fees[b"mid"] = 50
+    pool.append(FakeTx(b"mid", 100))
+    assert set(pool.entries) == {b"smallfast", b"mid"}
+
+    # incoming with rate below every entry is rejected, pool unchanged
+    fees[b"dust"] = 1
+    with pytest.raises(mp.MempoolError):
+        pool.append(FakeTx(b"dust", 1000))
+    assert set(pool.entries) == {b"smallfast", b"mid"}
+
+    # block-template order is by descending feerate
+    assert [t.tag for t in pool.ordered_txs()] == [b"smallfast", b"mid"]

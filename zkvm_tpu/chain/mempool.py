@@ -8,6 +8,7 @@ txs whose inputs were spent by an applied block.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from fractions import Fraction
 
 from ..proofs.generators import BulletproofGens
 from ..vm.fees import FeeRate
@@ -49,9 +50,12 @@ class Mempool:
         feerate = FeeRate(verified.fee, len(tx.to_bytes()))
         entry = _Entry(tx, verified, feerate)
         if len(self.entries) >= self.max_size:
+            # lowest-feerate victim via exact cross-product ordering
+            # (fee1/size1 < fee2/size2 <=> fee1*size2 < fee2*size1)
             worst_id = min(
-                self.entries, key=lambda k: (
-                    self.entries[k].feerate.fee * feerate.size
+                self.entries, key=lambda k: Fraction(
+                    self.entries[k].feerate.fee,
+                    max(self.entries[k].feerate.size, 1),
                 )
             )
             worst = self.entries[worst_id]
@@ -66,7 +70,8 @@ class Mempool:
         return [
             e.tx for e in sorted(
                 self.entries.values(),
-                key=lambda e: (-(e.feerate.fee * 10**9 // max(e.feerate.size, 1))),
+                key=lambda e: Fraction(e.feerate.fee, max(e.feerate.size, 1)),
+                reverse=True,
             )
         ]
 
