@@ -1,0 +1,131 @@
+"""Pallas MSM pipeline parity vs the oracle (interpret mode on CPU).
+
+Shapes are deliberately tiny: interpret-mode Pallas inlines every kernel as
+jax ops, and XLA CPU compiles large unrolled graphs pathologically slowly
+(docs/ROUND2-NOTES.md §4).  nbits truncation keeps the window count small;
+the full-width window count is exercised on the real chip by bench.py.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkvm_tpu.constants import L, P
+from zkvm_tpu.kernels import msm as jmsm
+from zkvm_tpu.kernels import pallas_msm as pm
+from zkvm_tpu.oracle import edwards as oe
+from zkvm_tpu.oracle import ristretto
+
+
+def _rand_points(n, seed=0):
+    r = random.Random(seed)
+    return [
+        ristretto.RistrettoPoint.from_uniform_bytes(
+            r.getrandbits(512).to_bytes(64, "little")
+        ).ep
+        for _ in range(n)
+    ]
+
+
+def _assert_proj_eq(got, expect):
+    gx, gy, gz, _ = got
+    ex, ey, ez, _ = expect
+    assert (gx * ez - ex * gz) % P == 0
+    assert (gy * ez - ey * gz) % P == 0
+
+
+def test_point_add_lm_parity():
+    n = 32
+    p = _rand_points(n, seed=1)
+    q = _rand_points(n, seed=2)
+    out = pm.point_add_lm(pm.pack_points_lm(p), pm.pack_points_lm(q),
+                          interpret=True)
+    from zkvm_tpu.kernels.limbs import limbs_to_field_ints
+    gx = limbs_to_field_ints(np.asarray(out.x).T)
+    gy = limbs_to_field_ints(np.asarray(out.y).T)
+    gz = limbs_to_field_ints(np.asarray(out.z).T)
+    gt = limbs_to_field_ints(np.asarray(out.t).T)
+    for i in range(n):
+        e = oe.add(p[i], q[i])
+        _assert_proj_eq((gx[i], gy[i], gz[i], gt[i]), e)
+        assert (gt[i] * gz[i] - gx[i] * gy[i]) % P == 0  # T invariant
+
+
+def test_seg_combine_lm_select():
+    """Flagged lanes pass q through; unflagged lanes hold p + q."""
+    n = 8
+    p = _rand_points(n, seed=3)
+    q = _rand_points(n, seed=4)
+    flags = jnp.asarray(
+        np.array([1, 0, 1, 0, 0, 1, 0, 0], np.int32).reshape(1, n)
+    )
+    out = pm.seg_combine_lm(pm.pack_points_lm(p), pm.pack_points_lm(q),
+                            flags, interpret=True)
+    from zkvm_tpu.kernels.limbs import limbs_to_field_ints
+    gx = limbs_to_field_ints(np.asarray(out.x).T)
+    gy = limbs_to_field_ints(np.asarray(out.y).T)
+    gz = limbs_to_field_ints(np.asarray(out.z).T)
+    for i in range(n):
+        e = q[i] if int(flags[0, i]) else oe.add(p[i], q[i])
+        _assert_proj_eq((gx[i], gy[i], gz[i], None), e)
+
+
+@pytest.mark.parametrize("n,wbits,nbits", [(5, 8, 32), (70, 8, 32)])
+def test_msm_pallas_parity(n, wbits, nbits):
+    r = random.Random(n)
+    pts = _rand_points(n, seed=n)
+    ks = [r.randrange(1 << (nbits - 2)) for _ in range(n)]
+    ks[0] = 0                         # zero scalar contributes nothing
+    ks[1] = (1 << (nbits - 2)) - 1    # near-max digit path
+    expect = oe.multiscalar_mul(ks, pts)
+    got = pm.msm(pts, ks, wbits=wbits, interpret=True, nbits=nbits)
+    _assert_proj_eq(got, expect)
+
+
+def test_msm_pallas_duplicate_points_and_negation():
+    """Duplicate base points (shared buckets) + digits hitting the signed
+    boundary -2^(w-1)."""
+    r = random.Random(9)
+    base = _rand_points(4, seed=11)
+    pts = [base[i % 4] for i in range(24)]
+    # scalar 0x80 in wbits=8 recodes to digit -128 with a carry into the
+    # next window: exercises bucket nbuckets and the negation path
+    ks = [0x80, 0x8080, 0x7F7F] + [r.randrange(1 << 30) for _ in range(21)]
+    expect = oe.multiscalar_mul(ks, pts)
+    got = pm.msm(pts, ks, wbits=8, interpret=True, nbits=32)
+    _assert_proj_eq(got, expect)
+
+
+def test_msm_pallas_unrolled_combine_matches():
+    """The TPU (unrolled) window combine must agree with the rolled one."""
+    n = 20
+    r = random.Random(5)
+    pts = _rand_points(n, seed=5)
+    ks = [r.randrange(1 << 30) for _ in range(n)]
+    digits = jnp.asarray(jmsm.signed_digits_radix_2w(ks, 8, 32))
+    pb, digits = pm.pad_batch_lm(pm.pack_points_lm(pts), digits)
+    rolled = pm.msm_pallas(pb, digits, 8, True, False)
+    unrolled = pm.msm_pallas(pb, digits, 8, True, True)
+    from zkvm_tpu.kernels import point as jp
+    a = jp.unpack_points(jp.PointBatch(
+        rolled.x[None], rolled.y[None], rolled.z[None], rolled.t[None]))[0]
+    b = jp.unpack_points(jp.PointBatch(
+        unrolled.x[None], unrolled.y[None], unrolled.z[None],
+        unrolled.t[None]))[0]
+    _assert_proj_eq(a, b)
+
+
+def test_best_wbits_monotone():
+    ws = [pm.best_wbits(1 << k) for k in (8, 12, 14, 16, 18, 20)]
+    assert all(8 <= w <= 20 for w in ws)
+    assert ws == sorted(ws), "window width should grow with n"
+
+
+def test_signed_digits_nbits_truncation():
+    ks = [0, 1, (1 << 30) - 1, 12345678]
+    d = jmsm.signed_digits_radix_2w(ks, 8, 32)
+    assert d.shape == (4, 4)
+    for j, k in enumerate(ks):
+        assert sum(int(d[j, i]) << (8 * i) for i in range(4)) == k

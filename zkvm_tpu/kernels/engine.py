@@ -46,25 +46,54 @@ def _unpack_single(out: PointBatch) -> ristretto.RistrettoPoint:
 
 
 class JaxEngine(Engine):
-    """MSMs and IPP folds on the TPU (or any JAX backend)."""
+    """MSMs and IPP folds on the TPU (or any JAX backend).
+
+    pipeline: "auto" picks the Pallas bucket pipeline on TPU (the fused
+    VMEM point-add path, kernels/pallas_msm.py) and the jnp kernels
+    elsewhere; "pallas"/"xla" force one.  wbits None = per-size best_wbits.
+    """
 
     name = "jax"
 
-    def __init__(self, min_msm_size: int = 16, wbits: int = 16):
+    def __init__(self, min_msm_size: int = 16, wbits: int | None = None,
+                 pipeline: str = "auto"):
         # below this size the host oracle is faster than a device round trip
         self.min_msm_size = min_msm_size
         self.wbits = wbits
+        self.pipeline = pipeline
         self._oracle = Engine()
+
+    def _use_pallas(self) -> bool:
+        import jax
+        if self.pipeline == "auto":
+            return jax.default_backend() in ("tpu", "axon")
+        return self.pipeline == "pallas"
 
     def msm(self, scalars, points) -> ristretto.RistrettoPoint:
         scalars = [int(s) % L for s in scalars]
         points = list(points)
         if len(scalars) < self.min_msm_size:
             return self._oracle.msm(scalars, points)
+        if self._use_pallas():
+            from . import pallas_msm as pmsm
+            wbits = self.wbits or pmsm.best_wbits(len(scalars))
+            rows = np.stack([_point_limbs(p) for p in points])  # (n, 4, 20)
+            pts = jmsm.PointBatch(
+                jnp.asarray(rows[:, 0].T.copy()), jnp.asarray(rows[:, 1].T.copy()),
+                jnp.asarray(rows[:, 2].T.copy()), jnp.asarray(rows[:, 3].T.copy()),
+            )
+            digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits))
+            pts, digits = pmsm.pad_batch_lm(pts, digits)
+            import jax
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return _unpack_single(
+                pmsm.msm_pallas(pts, digits, wbits, interpret)
+            )
+        wbits = self.wbits or 16
         pts = pack_point_list(points)
-        digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, self.wbits))
+        digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits))
         pts, digits = jmsm.pad_batch(pts, digits)
-        return _unpack_single(jmsm.msm_device(pts, digits, self.wbits))
+        return _unpack_single(jmsm.msm_device(pts, digits, wbits))
 
     def fold_points(self, s1, s2, P, Q):
         if len(P) < 4:

@@ -37,19 +37,24 @@ def num_windows(wbits: int) -> int:
     return -(-256 // wbits)
 
 
-def signed_digits_radix_2w(scalars: list[int], wbits: int = DEFAULT_WBITS) -> np.ndarray:
+def signed_digits_radix_2w(scalars: list[int], wbits: int = DEFAULT_WBITS,
+                           nbits: int = 256) -> np.ndarray:
     """Canonical scalars -> (n, windows) int32 signed radix-2^w digits, LSB
-    first: d_i in [-2^(w-1), 2^(w-1)), borrow-carried.  The top digit stays in
-    range because scalars < ℓ < 2^253."""
+    first: d_i in [-2^(w-1), 2^(w-1)], borrow-carried.  The top digit stays
+    in range because scalars < ℓ < 2^253.  nbits < 256 shrinks the window
+    count for short scalars (scalars must be < 2^(nbits-1)).
+
+    Vectorized through a byte buffer + unpackbits (the per-int Python loop
+    was a measurable host cost at n = 2^18)."""
     n = len(scalars)
-    nw = num_windows(wbits)
-    mask = (1 << wbits) - 1
+    nw = -(-nbits // wbits)
     half = 1 << (wbits - 1)
-    chunks = np.empty((n, nw), dtype=np.int64)
-    for j, s in enumerate(scalars):
-        s = int(s)
-        for i in range(nw):
-            chunks[j, i] = (s >> (wbits * i)) & mask
+    buf = np.frombuffer(
+        b"".join(int(s).to_bytes(35, "little") for s in scalars), dtype=np.uint8
+    ).reshape(n, 35)
+    bits = np.unpackbits(buf, axis=1, bitorder="little")[:, : nw * wbits]
+    weights = (1 << np.arange(wbits, dtype=np.int64))
+    chunks = bits.reshape(n, nw, wbits).astype(np.int64) @ weights
     carry = np.zeros(n, dtype=np.int64)
     out = np.empty((n, nw), dtype=np.int64)
     for i in range(nw):
@@ -129,7 +134,7 @@ def msm_device_looped(points: PointBatch, digits: jnp.ndarray,
     """Loop-based variant (fori over windows).  Compiles small but on the
     axon TPU tunnel every loop iteration pays a host round trip, so the
     vectorized msm_device below is the production path."""
-    nw = num_windows(wbits)
+    nw = digits.shape[1]
 
     def per_window(w, acc):
         widx = nw - 1 - w
@@ -147,8 +152,10 @@ def _all_window_totals(points: PointBatch, digits: jnp.ndarray,
                        wbits: int) -> PointBatch:
     """Every window's bucket accumulation + fold, vectorized over the window
     axis in ONE fixed-shape computation (no loops): returns (nw, 20) coords.
-    """
-    nw = num_windows(wbits)
+    nw comes from the digits array, which may carry fewer than
+    ceil(256/wbits) windows for short scalars (tests use this to drive the
+    TPU-production variant through CPU parity runs cheaply)."""
+    nw = digits.shape[1]
     nbuckets = 1 << (wbits - 1)
     n = digits.shape[0]
 
@@ -231,7 +238,7 @@ def msm_device_vectorized(points: PointBatch, digits: jnp.ndarray,
     """Loop-free MSM: all windows' bucket work vectorized in one shot; the
     window combine (acc = 2^w*acc + total_w, high to low) is unrolled — one
     device dispatch, no host round trips mid-kernel."""
-    nw = num_windows(wbits)
+    nw = digits.shape[1]
     totals = _all_window_totals(points, digits, wbits)
 
     acc = jp.gather(totals, nw - 1)
