@@ -59,7 +59,15 @@ class RistrettoPoint:
 
     # -- encoding ----------------------------------------------------------
     def compress(self) -> bytes:
-        """RFC 9496 ENCODE (upstream RistrettoPoint::compress)."""
+        """RFC 9496 ENCODE (upstream RistrettoPoint::compress).  Routed
+        through the native batch module when available (the Python pow-chain
+        path below stays as the semantic ground truth and fallback)."""
+        native = compress_batch([self.ep])
+        if native is not None:
+            return native[0]
+        return self._compress_py()
+
+    def _compress_py(self) -> bytes:
         X, Y, Z, T = self.ep
         u1 = (Z + Y) * (Z - Y) % P
         u2 = X * Y % P
@@ -83,9 +91,19 @@ class RistrettoPoint:
     @staticmethod
     def decompress(b: bytes) -> "RistrettoPoint":
         """RFC 9496 DECODE (upstream CompressedRistretto::decompress).
-        Raises ValueError on invalid encodings."""
+        Raises ValueError on invalid encodings.  Routed through the native
+        module when available; the Python path below is the ground truth."""
         if len(b) != 32:
             raise ValueError("ristretto encoding must be 32 bytes")
+        native = decompress_batch([b])
+        if native is not None:
+            if native[0] is None:
+                raise ValueError("invalid ristretto encoding")
+            return native[0]
+        return RistrettoPoint._decompress_py(b)
+
+    @staticmethod
+    def _decompress_py(b: bytes) -> "RistrettoPoint":
         s = field.from_bytes_strict(b)
         if field.is_negative(s):
             raise ValueError("ristretto encoding: s is negative")
@@ -146,6 +164,65 @@ def _elligator_map(t: int) -> edwards.Point:
     w2 = (1 - s * s) % P
     w3 = (1 + s * s) % P
     return (w0 * w3 % P, w2 * w1 % P, w1 * w3 % P, w0 * w2 % P)
+
+
+def decompress_batch(encodings: list[bytes]):
+    """Batch DECODE through the native module: list of 32-byte encodings ->
+    list of RistrettoPoint-or-None (None marks an invalid encoding).
+    Returns None when the native library is unavailable (callers fall back
+    to the per-point Python path)."""
+    from ..native import decompress_batch_raw
+    n = len(encodings)
+    if n == 0:
+        return []
+    for b in encodings:
+        if len(b) != 32:
+            raise ValueError("ristretto encoding must be 32 bytes")
+    raw = decompress_batch_raw(b"".join(encodings), n)
+    if raw is None:
+        return None
+    coords, ok = raw
+    out = []
+    for i in range(n):
+        if not ok[i]:
+            out.append(None)
+            continue
+        o = coords[128 * i: 128 * (i + 1)]
+        out.append(RistrettoPoint((
+            int.from_bytes(o[0:32], "little"),
+            int.from_bytes(o[32:64], "little"),
+            int.from_bytes(o[64:96], "little"),
+            int.from_bytes(o[96:128], "little"),
+        )))
+    return out
+
+
+def decompress_many(encodings: list[bytes]) -> list["RistrettoPoint"]:
+    """Batch DECODE with errors: raises ValueError on the first invalid
+    encoding; native-accelerated when available."""
+    pts = decompress_batch(encodings)
+    if pts is None:
+        return [RistrettoPoint._decompress_py(b) for b in encodings]
+    for i, p in enumerate(pts):
+        if p is None:
+            raise ValueError(f"invalid ristretto encoding at index {i}")
+    return pts
+
+
+def compress_batch(eps: list[edwards.Point]):
+    """Batch ENCODE through the native module: list of extended points ->
+    list of 32-byte encodings, or None when the library is unavailable."""
+    from ..native import compress_batch_raw
+    n = len(eps)
+    if n == 0:
+        return []
+    buf = b"".join(
+        (c % P).to_bytes(32, "little") for ep in eps for c in ep
+    )
+    raw = compress_batch_raw(buf, n)
+    if raw is None:
+        return None
+    return [raw[32 * i: 32 * (i + 1)] for i in range(n)]
 
 
 IDENTITY = RistrettoPoint(edwards.IDENTITY)

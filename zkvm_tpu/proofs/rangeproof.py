@@ -180,19 +180,19 @@ class RangeProof:
             + h_scalars
             + value_commitment_scalars
         )
+        from ..oracle.ristretto import decompress_many
+        dyn = decompress_many(
+            [self.A, self.S, self.T_1, self.T_2]
+            + list(self.ipp_proof.L_vec) + list(self.ipp_proof.R_vec)
+            + list(value_commitments)
+        )  # one native batch call: the host profile is decompress-dominated
+        k = 4 + len(self.ipp_proof.L_vec) + len(self.ipp_proof.R_vec)
         points = (
-            [
-                RistrettoPoint.decompress(self.A),
-                RistrettoPoint.decompress(self.S),
-                RistrettoPoint.decompress(self.T_1),
-                RistrettoPoint.decompress(self.T_2),
-            ]
-            + [RistrettoPoint.decompress(Lb) for Lb in self.ipp_proof.L_vec]
-            + [RistrettoPoint.decompress(Rb) for Rb in self.ipp_proof.R_vec]
+            dyn[:k]
             + [pc_gens.B_blinding, pc_gens.B]
             + bp_gens.G(n, m)
             + bp_gens.H(n, m)
-            + [RistrettoPoint.decompress(V) for V in value_commitments]
+            + dyn[k:]
         )
         return scalars, points
 

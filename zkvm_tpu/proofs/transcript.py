@@ -47,11 +47,14 @@ class ProofTranscript(Transcript):
         self.append_message(label, p if isinstance(p, bytes) else p.compress())
 
     def validate_and_append_point(self, label: bytes, compressed: bytes):
-        """Reject the identity (upstream validate_and_append_point)."""
+        """Reject the identity encoding (upstream validate_and_append_point:
+        a byte comparison against CompressedRistretto::identity(), NOT a
+        decompression — malformed encodings are rejected later when the
+        verifier decompresses the points for its mega-check MSM)."""
+        if len(compressed) != 32:
+            raise ProofError("point validation failed: bad length")
         if compressed == b"\x00" * 32:
             raise ProofError("point validation failed: identity")
-        # decompression check — also rejects malformed encodings
-        RistrettoPoint.decompress(compressed)
         self.append_message(label, compressed)
 
     # -- challenges ---------------------------------------------------------
