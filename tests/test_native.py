@@ -63,3 +63,109 @@ def test_merlin_uses_native_and_matches_vector():
     assert t.challenge_bytes(b"challenge", 32).hex() == (
         "d5a21972d0d5fe320c0d263fac7fffb8145aa640af6e9bca177c03c7efcf0615"
     )
+
+
+# ---------------------------------------------------------------- ristretto
+def _rand_pts(n, seed):
+    from zkvm_tpu.oracle.ristretto import RistrettoPoint
+    r = random.Random(seed)
+    return [
+        RistrettoPoint.from_uniform_bytes(
+            r.getrandbits(512).to_bytes(64, "little")
+        )
+        for _ in range(n)
+    ]
+
+
+def test_native_compress_parity():
+    """Native batch ENCODE bit-exact vs the Python oracle path."""
+    from zkvm_tpu.oracle.ristretto import compress_batch
+    pts = _rand_pts(64, seed=10)
+    got = compress_batch([p.ep for p in pts])
+    assert got is not None
+    for p, enc in zip(pts, got):
+        assert enc == p._compress_py()
+
+
+def test_native_decompress_parity_and_rejection():
+    from zkvm_tpu.oracle.ristretto import (
+        RistrettoPoint, decompress_batch,
+    )
+    pts = _rand_pts(32, seed=11)
+    encs = [p._compress_py() for p in pts]
+    # corrupt a few: non-canonical s (p-1 has high bit pattern), odd s,
+    # random junk
+    from zkvm_tpu.constants import P
+    bad = [
+        (P - 1).to_bytes(32, "little"),   # negative s
+        (P + 2).to_bytes(32, "little"),   # non-canonical
+        bytes([0xFF] * 32),
+    ]
+    out = decompress_batch(encs + bad)
+    assert out is not None
+    for enc, q in zip(encs, out[:32]):
+        assert q is not None
+        # bit-exact vs the Python DECODE (decompress returns the canonical
+        # coset representative, which may differ from the original point by
+        # torsion — so compare decode-to-decode, not to the input point)
+        assert q.ep == RistrettoPoint._decompress_py(enc).ep
+    for i, b in enumerate(bad):
+        native_invalid = out[32 + i] is None
+        try:
+            RistrettoPoint._decompress_py(b)
+            py_invalid = False
+        except ValueError:
+            py_invalid = True
+        assert native_invalid == py_invalid, (i, b.hex())
+
+
+def test_native_decompress_identity_and_basepoint():
+    from zkvm_tpu.oracle import ristretto
+    from zkvm_tpu.oracle.ristretto import decompress_batch
+    bp_enc = ristretto.BASEPOINT._compress_py()
+    out = decompress_batch([b"\x00" * 32, bp_enc])
+    assert out is not None
+    ident, bp = out
+    from zkvm_tpu.constants import P
+    assert ident is not None and ident.ep[0] % P == 0  # X=0 -> identity
+    assert bp.ep == ristretto.RistrettoPoint._decompress_py(bp_enc).ep
+
+
+# ---------------------------------------------------------------- scalarvec
+def test_scalarvec_parity():
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.native import ScalarVec
+    r = random.Random(12)
+    a = [r.randrange(L) for _ in range(65)] + [0, 1, L - 1]
+    b = [r.randrange(L) for _ in range(68)]
+    A, B = ScalarVec.from_ints(a), ScalarVec.from_ints(b)
+    assert A.mul(B).to_ints() == [x * y % L for x, y in zip(a, b)]
+    assert A.add(B).to_ints() == [(x + y) % L for x, y in zip(a, b)]
+    assert A.sub(B).to_ints() == [(x - y) % L for x, y in zip(a, b)]
+    k, c = r.randrange(L), r.randrange(L)
+    assert A.scale(k).to_ints() == [x * k % L for x in a]
+    assert A.axpb(k, c).to_ints() == [(x * k + c) % L for x in a]
+    C = ScalarVec.from_ints([r.randrange(L) for _ in range(68)])
+    assert A.muladd(B, C).to_ints() == [
+        (x * y + z) % L for x, y, z in zip(a, b, C.to_ints())
+    ]
+    assert A.neg().to_ints() == [-x % L for x in a]
+    assert A.sum() == sum(a) % L
+    assert A.inner(B) == sum(x * y for x, y in zip(a, b)) % L
+
+
+def test_scalarvec_batch_invert_and_powers():
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.native import ScalarVec
+    r = random.Random(13)
+    a = [r.randrange(1, L) for _ in range(40)]
+    a[7] = 0  # zero passes through as zero (upstream batch_invert contract)
+    inv = ScalarVec.from_ints(a).batch_invert().to_ints()
+    for x, i in zip(a, inv):
+        assert i == (pow(x, L - 2, L) if x else 0)
+    x = r.randrange(L)
+    ps = ScalarVec.powers(x, 50).to_ints()
+    acc = 1
+    for p in ps:
+        assert p == acc
+        acc = acc * x % L

@@ -18,16 +18,20 @@ _tried = False
 
 def _build_and_load():
     here = os.path.dirname(__file__)
-    src = os.path.join(here, "strobe.cpp")
+    srcs = [os.path.join(here, "strobe.cpp"),
+            os.path.join(here, "ristretto255.cpp"),
+            os.path.join(here, "scalarvec.cpp"),
+            os.path.join(here, "edwards255.cpp")]
+    hdrs = [os.path.join(here, "field51.h")]
     build_dir = os.path.join(here, "build")
     so_path = os.path.join(build_dir, "libzkvmnative.so")
-    if not os.path.exists(so_path) or (
-        os.path.getmtime(so_path) < os.path.getmtime(src)
+    if not os.path.exists(so_path) or any(
+        os.path.getmtime(so_path) < os.path.getmtime(s) for s in srcs + hdrs
     ):
         os.makedirs(build_dir, exist_ok=True)
         subprocess.run(
             ["c++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", so_path, src],
+             "-o", so_path] + srcs,
             check=True, capture_output=True,
         )
     lib = ctypes.CDLL(so_path)
@@ -43,6 +47,67 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int
     ]
     lib.keccak_f1600.argtypes = [ctypes.c_char_p]
+    lib.ristretto_set_constants.argtypes = [ctypes.c_char_p] * 3
+    lib.ristretto_decompress_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p
+    ]
+    lib.ristretto_compress_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+    ]
+    from ..constants import EDWARDS_D, INVSQRT_A_MINUS_D, SQRT_M1
+    lib.ristretto_set_constants(
+        EDWARDS_D.to_bytes(32, "little"),
+        SQRT_M1.to_bytes(32, "little"),
+        INVSQRT_A_MINUS_D.to_bytes(32, "little"),
+    )
+    lib.scl_set_constants.argtypes = [ctypes.c_char_p] * 3
+    for name in ("scl_mul", "scl_add", "scl_sub", "scl_inner"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+        ]
+    lib.scl_mul_scalar.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+    ]
+    for name in ("scl_neg", "scl_sum", "scl_batch_invert"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+        ]
+    lib.scl_powers.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+    for name in ("scl_axpb", "scl_muladd"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p,
+        ]
+    from ..constants import L
+    lib.scl_set_constants(
+        L.to_bytes(32, "little"),
+        pow(2, 512, L).to_bytes(32, "little"),
+        (L - 2).to_bytes(32, "little"),
+    )
+    lib.ed_set_constants.argtypes = [ctypes.c_char_p]
+    lib.ed_msm.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p,
+    ]
+    lib.ed_fold.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.ed_add_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+    ]
+    lib.ed_fixed_init.argtypes = [ctypes.c_int, ctypes.c_char_p]
+    lib.ed_fixed_ready.argtypes = [ctypes.c_int]
+    lib.ed_fixed_ready.restype = ctypes.c_int
+    lib.ed_fixed_mul.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+    ]
+    lib.ed_fixed_commit_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+    ]
+    from ..constants import EDWARDS_D2
+    lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
 
 
@@ -102,3 +167,272 @@ def make_strobe(protocol_label: bytes):
         return NativeStrobe128(protocol_label)
     from ..oracle.strobe import Strobe128
     return Strobe128(protocol_label)
+
+
+def decompress_batch_raw(encodings: bytes, n: int):
+    """n 32-byte Ristretto encodings -> (coords bytes: n*128, ok: n bytes)
+    via the native library, or None when it is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(128 * n)
+    ok = ctypes.create_string_buffer(n)
+    lib.ristretto_decompress_batch(encodings, n, out, ok)
+    return out.raw, ok.raw
+
+
+def compress_batch_raw(coords: bytes, n: int):
+    """n extended points (X,Y,Z,T as 32-byte LE each) -> n 32-byte
+    encodings, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(32 * n)
+    lib.ristretto_compress_batch(coords, n, out)
+    return out.raw
+
+
+def _pack_points(points) -> bytes:
+    """Oracle extended points -> concatenated 128-byte blobs."""
+    from ..constants import P
+    return b"".join(
+        (c % P).to_bytes(32, "little") for ep in points for c in ep
+    )
+
+
+def _unpack_point(blob: bytes, i: int = 0):
+    o = blob[128 * i: 128 * (i + 1)]
+    return (
+        int.from_bytes(o[0:32], "little"),
+        int.from_bytes(o[32:64], "little"),
+        int.from_bytes(o[64:96], "little"),
+        int.from_bytes(o[96:128], "little"),
+    )
+
+
+def ed_msm(scalars, points, ct: bool = False):
+    """sum s_i * P_i over oracle extended points via native Straus, or None
+    when the library is unavailable.  ct=True for secret scalars."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..constants import L
+    n = len(points)
+    sbuf = b"".join((int(s) % L).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(128)
+    lib.ed_msm(sbuf, _pack_points(points), n, int(ct), out)
+    return _unpack_point(out.raw)
+
+
+def ed_fold(s1, s2, P, Q, ct: bool = False):
+    """[s1_i*P_i + s2_i*Q_i] (the IPP fold), or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..constants import L
+    n = len(P)
+    assert len(s1) == len(s2) == n == len(Q)
+    b1 = b"".join((int(s) % L).to_bytes(32, "little") for s in s1)
+    b2 = b"".join((int(s) % L).to_bytes(32, "little") for s in s2)
+    out = ctypes.create_string_buffer(128 * n)
+    lib.ed_fold(b1, b2, _pack_points(P), _pack_points(Q), n, int(ct), out)
+    return [_unpack_point(out.raw, i) for i in range(n)]
+
+
+# fixed-base table slots (upstream EdwardsBasepointTable for B, B_blinding)
+_FIXED_SLOTS: dict[bytes, int] = {}
+
+
+def ed_fixed_slot(point) -> int | None:
+    """Slot id for a fixed-base table of `point`, building it on first use;
+    None when the library is unavailable or slots are exhausted."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = _pack_points([point])
+    slot = _FIXED_SLOTS.get(blob)
+    if slot is not None:
+        return slot
+    slot = len(_FIXED_SLOTS)
+    if slot >= 8:
+        return None
+    lib.ed_fixed_init(slot, blob)
+    _FIXED_SLOTS[blob] = slot
+    return slot
+
+
+def ed_fixed_mul(slot: int, scalar: int, ct: bool = True):
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..constants import L
+    out = ctypes.create_string_buffer(128)
+    lib.ed_fixed_mul(slot, (int(scalar) % L).to_bytes(32, "little"),
+                     int(ct), out)
+    return _unpack_point(out.raw)
+
+
+def ed_fixed_commit_batch(slot_v: int, slot_b: int, vs, bs, ct: bool = True):
+    """[v_i*T_v + b_i*T_b] — batched Pedersen commitments."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..constants import L
+    n = len(vs)
+    bv = b"".join((int(v) % L).to_bytes(32, "little") for v in vs)
+    bb = b"".join((int(b) % L).to_bytes(32, "little") for b in bs)
+    out = ctypes.create_string_buffer(128 * n)
+    lib.ed_fixed_commit_batch(slot_v, slot_b, bv, bb, n, int(ct), out)
+    return [_unpack_point(out.raw, i) for i in range(n)]
+
+
+class ScalarVec:
+    """Vector of scalars mod ℓ backed by the native 4x64 Montgomery module
+    (scalarvec.cpp), with a pure-Python fallback so semantics never depend
+    on the library being present.
+
+    Upstream counterpart: curve25519-dalek Scalar52 batch loops as used by
+    bulletproofs' verify_multiple scalar assembly.  Storage is packed
+    32-byte little-endian canonical encodings; all inputs are reduced on
+    construction.  Operations are elementwise and return new vectors.
+    """
+
+    __slots__ = ("buf", "n")
+
+    def __init__(self, buf: bytes, n: int):
+        self.buf = buf
+        self.n = n
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def from_ints(xs) -> "ScalarVec":
+        from ..constants import L
+        xs = [int(x) % L for x in xs]
+        return ScalarVec(b"".join(x.to_bytes(32, "little") for x in xs),
+                         len(xs))
+
+    def to_ints(self) -> list[int]:
+        return [int.from_bytes(self.buf[32 * i: 32 * i + 32], "little")
+                for i in range(self.n)]
+
+    def __len__(self) -> int:
+        return self.n
+
+    # -- helpers ------------------------------------------------------------
+    def _binop(self, other: "ScalarVec", cname: str, pyop):
+        assert self.n == other.n
+        lib = get_lib()
+        if lib is None:
+            from ..constants import L
+            return ScalarVec.from_ints(
+                [pyop(a, b) % L for a, b in zip(self.to_ints(),
+                                                other.to_ints())]
+            )
+        out = ctypes.create_string_buffer(32 * self.n)
+        getattr(lib, cname)(self.buf, other.buf, self.n, out)
+        return ScalarVec(out.raw, self.n)
+
+    # -- ops ----------------------------------------------------------------
+    def mul(self, other: "ScalarVec") -> "ScalarVec":
+        return self._binop(other, "scl_mul", lambda a, b: a * b)
+
+    def add(self, other: "ScalarVec") -> "ScalarVec":
+        return self._binop(other, "scl_add", lambda a, b: a + b)
+
+    def sub(self, other: "ScalarVec") -> "ScalarVec":
+        return self._binop(other, "scl_sub", lambda a, b: a - b)
+
+    def scale(self, k: int) -> "ScalarVec":
+        from ..constants import L
+        k = int(k) % L
+        lib = get_lib()
+        if lib is None:
+            return ScalarVec.from_ints([a * k % L for a in self.to_ints()])
+        out = ctypes.create_string_buffer(32 * self.n)
+        lib.scl_mul_scalar(self.buf, k.to_bytes(32, "little"), self.n, out)
+        return ScalarVec(out.raw, self.n)
+
+    def axpb(self, x: int, b: int) -> "ScalarVec":
+        """self[i]*x + b."""
+        from ..constants import L
+        x, b = int(x) % L, int(b) % L
+        lib = get_lib()
+        if lib is None:
+            return ScalarVec.from_ints(
+                [(a * x + b) % L for a in self.to_ints()]
+            )
+        out = ctypes.create_string_buffer(32 * self.n)
+        lib.scl_axpb(self.buf, x.to_bytes(32, "little"),
+                     b.to_bytes(32, "little"), self.n, out)
+        return ScalarVec(out.raw, self.n)
+
+    def muladd(self, other: "ScalarVec", addend: "ScalarVec") -> "ScalarVec":
+        """self[i]*other[i] + addend[i]."""
+        assert self.n == other.n == addend.n
+        lib = get_lib()
+        if lib is None:
+            from ..constants import L
+            return ScalarVec.from_ints(
+                [(a * b + c) % L for a, b, c in
+                 zip(self.to_ints(), other.to_ints(), addend.to_ints())]
+            )
+        out = ctypes.create_string_buffer(32 * self.n)
+        lib.scl_muladd(self.buf, other.buf, addend.buf, self.n, out)
+        return ScalarVec(out.raw, self.n)
+
+    def neg(self) -> "ScalarVec":
+        lib = get_lib()
+        if lib is None:
+            from ..constants import L
+            return ScalarVec.from_ints([-a % L for a in self.to_ints()])
+        out = ctypes.create_string_buffer(32 * self.n)
+        lib.scl_neg(self.buf, self.n, out)
+        return ScalarVec(out.raw, self.n)
+
+    def sum(self) -> int:
+        lib = get_lib()
+        if lib is None:
+            from ..constants import L
+            return sum(self.to_ints()) % L
+        out = ctypes.create_string_buffer(32)
+        lib.scl_sum(self.buf, self.n, out)
+        return int.from_bytes(out.raw, "little")
+
+    def inner(self, other: "ScalarVec") -> int:
+        assert self.n == other.n
+        lib = get_lib()
+        if lib is None:
+            from ..constants import L
+            return sum(a * b for a, b in zip(self.to_ints(),
+                                             other.to_ints())) % L
+        out = ctypes.create_string_buffer(32)
+        lib.scl_inner(self.buf, other.buf, self.n, out)
+        return int.from_bytes(out.raw, "little")
+
+    def batch_invert(self) -> "ScalarVec":
+        """Elementwise inverse (zero -> zero), Montgomery-trick batched."""
+        lib = get_lib()
+        if lib is None:
+            from ..constants import L
+            return ScalarVec.from_ints(
+                [pow(a, L - 2, L) if a else 0 for a in self.to_ints()]
+            )
+        out = ctypes.create_string_buffer(32 * self.n)
+        lib.scl_batch_invert(self.buf, self.n, out)
+        return ScalarVec(out.raw, self.n)
+
+    @staticmethod
+    def powers(x: int, n: int) -> "ScalarVec":
+        """[1, x, x^2, ..., x^(n-1)]."""
+        from ..constants import L
+        x = int(x) % L
+        lib = get_lib()
+        if lib is None:
+            acc, out = 1, []
+            for _ in range(n):
+                out.append(acc)
+                acc = acc * x % L
+            return ScalarVec.from_ints(out)
+        out = ctypes.create_string_buffer(32 * n)
+        lib.scl_powers(x.to_bytes(32, "little"), n, out)
+        return ScalarVec(out.raw, n)

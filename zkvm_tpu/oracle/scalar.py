@@ -30,11 +30,18 @@ def mul(a: int, b: int) -> int:
 
 
 def invert(a: int) -> int:
+    from ..native import get_lib, ScalarVec
+    if get_lib() is not None:
+        # native Montgomery a^(l-2): ~6us vs ~190us for Python pow
+        return ScalarVec.from_ints([a]).batch_invert().to_ints()[0]
     return pow(a, L - 2, L)
 
 
 def batch_invert(xs: list[int]) -> list[int]:
     """Montgomery-trick batch inversion mod ℓ (upstream Scalar::batch_invert)."""
+    from ..native import get_lib, ScalarVec
+    if get_lib() is not None:
+        return ScalarVec.from_ints(xs).batch_invert().to_ints()
     n = len(xs)
     prefix = [1] * (n + 1)
     for i, x in enumerate(xs):

@@ -13,12 +13,31 @@ from ..oracle import ristretto
 
 
 class Engine:
-    """Abstract compute engine for protocol-layer group math."""
+    """Abstract compute engine for protocol-layer group math.
+
+    The host engine prefers the native C++ Straus module (native/
+    edwards255.cpp, ~35x the Python oracle) and falls back to the
+    pure-Python oracle, which stays the semantic ground truth."""
 
     name = "oracle"
 
     def msm(self, scalars, points) -> ristretto.RistrettoPoint:
         """Variable-time multiscalar multiplication: sum_i scalars[i] * points[i]."""
+        from ..native import ed_msm
+        eps = [p.ep for p in points]
+        native = ed_msm(scalars, eps) if eps else None
+        if native is not None:
+            return ristretto.RistrettoPoint(native)
+        return ristretto.multiscalar_mul(scalars, points)
+
+    def msm_secret(self, scalars, points) -> ristretto.RistrettoPoint:
+        """MSM over SECRET scalars (prover commitments): constant-time table
+        selects in the native path (upstream multiscalar_mul vs vartime_)."""
+        from ..native import ed_msm
+        eps = [p.ep for p in points]
+        native = ed_msm(scalars, eps, ct=True) if eps else None
+        if native is not None:
+            return ristretto.RistrettoPoint(native)
         return ristretto.multiscalar_mul(scalars, points)
 
     def msm_is_identity(self, scalars, points) -> bool:
@@ -29,6 +48,10 @@ class Engine:
         """Batched 2-term MSMs: [s1_i*P_i + s2_i*Q_i] — the IPP G/H fold step
         (inner_product_proof.rs round fold).  The JAX engine runs this as one
         batched double-scalar-mul kernel."""
+        from ..native import ed_fold
+        native = ed_fold(s1, s2, [p.ep for p in P], [q.ep for q in Q])
+        if native is not None:
+            return [ristretto.RistrettoPoint(ep) for ep in native]
         from ..oracle import edwards
         out = []
         for a, b, p, q in zip(s1, s2, P, Q, strict=True):
