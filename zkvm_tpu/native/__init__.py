@@ -47,6 +47,14 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int
     ]
     lib.keccak_f1600.argtypes = [ctypes.c_char_p]
+    lib.strobe_append_message.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.strobe_challenge_bytes.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
     lib.ristretto_set_constants.argtypes = [ctypes.c_char_p] * 3
     lib.ristretto_decompress_batch.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p
@@ -159,6 +167,17 @@ class NativeStrobe128:
 
     def key(self, data: bytes, more: bool):
         self._lib.strobe_key(self._buf, data, len(data), int(more))
+
+    # fused Merlin ops (one ctypes crossing instead of three)
+    def append_message(self, label: bytes, message: bytes):
+        self._lib.strobe_append_message(
+            self._buf, label, len(label), message, len(message)
+        )
+
+    def challenge_bytes(self, label: bytes, n: int) -> bytes:
+        out = ctypes.create_string_buffer(n)
+        self._lib.strobe_challenge_bytes(self._buf, label, len(label), out, n)
+        return out.raw
 
 
 def make_strobe(protocol_label: bytes):
@@ -317,6 +336,16 @@ class ScalarVec:
 
     def __len__(self) -> int:
         return self.n
+
+    def reverse(self) -> "ScalarVec":
+        chunks = [self.buf[32 * i: 32 * i + 32]
+                  for i in range(self.n - 1, -1, -1)]
+        return ScalarVec(b"".join(chunks), self.n)
+
+    @staticmethod
+    def concat(*vecs: "ScalarVec") -> "ScalarVec":
+        return ScalarVec(b"".join(v.buf for v in vecs),
+                         sum(v.n for v in vecs))
 
     # -- helpers ------------------------------------------------------------
     def _binop(self, other: "ScalarVec", cname: str, pyop):

@@ -146,4 +146,34 @@ void strobe_key(Strobe* s, const uint8_t* data, size_t len, int more) {
     overwrite(s, data, len);
 }
 
+// Fused Merlin ops: one ctypes crossing instead of three (the transcript
+// spine is ~70 Python->C calls per proof verification otherwise).
+
+// append_message = meta_ad(label, 0) + meta_ad(le32(len), 1) + ad(data, 0)
+void strobe_append_message(Strobe* s, const uint8_t* label, size_t label_len,
+                           const uint8_t* data, size_t data_len) {
+    begin_op(s, FLAG_M | FLAG_A, 0);
+    absorb(s, label, label_len);
+    uint8_t le[4] = {
+        (uint8_t)data_len, (uint8_t)(data_len >> 8),
+        (uint8_t)(data_len >> 16), (uint8_t)(data_len >> 24),
+    };
+    absorb(s, le, 4);
+    begin_op(s, FLAG_A, 0);
+    absorb(s, data, data_len);
+}
+
+// challenge_bytes = meta_ad(label, 0) + meta_ad(le32(n), 1) + prf(n, 0)
+void strobe_challenge_bytes(Strobe* s, const uint8_t* label, size_t label_len,
+                            uint8_t* out, size_t n) {
+    begin_op(s, FLAG_M | FLAG_A, 0);
+    absorb(s, label, label_len);
+    uint8_t le[4] = {
+        (uint8_t)n, (uint8_t)(n >> 8), (uint8_t)(n >> 16), (uint8_t)(n >> 24),
+    };
+    absorb(s, le, 4);
+    begin_op(s, FLAG_I | FLAG_A | FLAG_C, 0);
+    squeeze(s, out, n);
+}
+
 }  // extern "C"

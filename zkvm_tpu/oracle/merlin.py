@@ -37,17 +37,24 @@ class Transcript:
         return Transcript._from_strobe(self.strobe.clone())
 
     def append_message(self, label: bytes, message: bytes):
-        self.strobe.meta_ad(label, False)
-        self.strobe.meta_ad(_le32(len(message)), True)
-        self.strobe.ad(message, False)
+        s = self.strobe
+        if hasattr(s, "append_message"):  # fused native path
+            s.append_message(label, message)
+            return
+        s.meta_ad(label, False)
+        s.meta_ad(_le32(len(message)), True)
+        s.ad(message, False)
 
     def append_u64(self, label: bytes, n: int):
         self.append_message(label, int(n).to_bytes(8, "little"))
 
     def challenge_bytes(self, label: bytes, n: int) -> bytes:
-        self.strobe.meta_ad(label, False)
-        self.strobe.meta_ad(_le32(n), True)
-        return self.strobe.prf(n, False)
+        s = self.strobe
+        if hasattr(s, "challenge_bytes"):  # fused native path
+            return s.challenge_bytes(label, n)
+        s.meta_ad(label, False)
+        s.meta_ad(_le32(n), True)
+        return s.prf(n, False)
 
     def build_rng(self) -> "TranscriptRngBuilder":
         return TranscriptRngBuilder(self.strobe.clone())

@@ -92,6 +92,9 @@ def exp_iter(x: int):
 
 def sum_of_powers(x: int, n: int) -> int:
     """1 + x + ... + x^{n-1} mod ℓ (upstream util::sum_of_powers)."""
+    from ..native import get_lib, ScalarVec
+    if n > 8 and get_lib() is not None:
+        return ScalarVec.powers(x, n).sum()
     acc, cur = 0, 1
     for _ in range(n):
         acc = (acc + cur) % L

@@ -150,12 +150,14 @@ class InnerProductProof:
         u_sq = [u * u % L for u in challenges]
         u_inv_sq = [u * u % L for u in challenges_inv]
 
-        s = [allinv]
-        for i in range(1, n):
-            lg_i = i.bit_length() - 1
-            k = 1 << lg_i
-            u_lg_i_sq = u_sq[(lg_n - 1) - lg_i]
-            s.append(s[i - k] * u_lg_i_sq % L)
+        # s expansion by doubling: s[2^j .. 2^{j+1}) = s[0 .. 2^j) * u_sq_j
+        # — lg_n vector scales instead of n Python big-int muls
+        from ..native import ScalarVec
+        sv = ScalarVec.from_ints([allinv])
+        for j in range(lg_n):
+            scaled = sv.scale(u_sq[(lg_n - 1) - j])
+            sv = ScalarVec(sv.buf + scaled.buf, 2 * sv.n)
+        s = sv.to_ints()
 
         return u_sq, u_inv_sq, s
 

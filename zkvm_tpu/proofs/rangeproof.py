@@ -142,28 +142,32 @@ class RangeProof:
             c = transcript.build_rng().finalize(b"\x00" * 32).random_scalar()
 
         u_sq, u_inv_sq, s = self.ipp_proof.verification_scalars(n * m, transcript)
-        s_inv = list(reversed(s))
         a, b = self.ipp_proof.a % L, self.ipp_proof.b % L
 
         zz = z * z % L
         minus_z = (-z) % L
 
-        # concat_z_and_2: z^j * 2^i for party j, bit i
-        exp_2 = powers(2, n)
-        concat_z_and_2 = []
-        zexp = 1
-        for _ in range(m):
-            concat_z_and_2.extend(e2 * zexp % L for e2 in exp_2)
-            zexp = zexp * z % L
-
+        # scalar assembly on ScalarVec (native 4x64 Montgomery vectors):
+        #   g_i = -z - a*s_i
+        #   h_i = z + y^-i * (z^2 * z_and_2_i - b / s_i)
+        from ..native import ScalarVec
+        sv = ScalarVec.from_ints(s)
+        s_inv_v = sv.reverse()  # 1/s_i = s_{nm-1-i}
         y_inv = scalar.invert(y)
-        exp_y_inv = powers(y_inv, n * m)
+        exp_y_inv_v = ScalarVec.powers(y_inv, n * m)
+        exp_2_v = ScalarVec.powers(2, n)
+        z2_parts = []
+        zexp = 1
+        for _ in range(m):  # concat_z_and_2: z^j * 2^i for party j, bit i
+            z2_parts.append(exp_2_v.scale(zexp))
+            zexp = zexp * z % L
+        z2_v = ScalarVec.concat(*z2_parts)
 
-        g_scalars = [(minus_z - a * si) % L for si in s]
-        h_scalars = [
-            (z + ey * ((zz * z2 - b * s_i_inv) % L)) % L
-            for ey, z2, s_i_inv in zip(exp_y_inv, concat_z_and_2, s_inv)
-        ]
+        g_scalars = sv.axpb((-a) % L, minus_z).to_ints()
+        h_scalars = (
+            z2_v.scale(zz).sub(s_inv_v.scale(b)).mul(exp_y_inv_v)
+            .axpb(1, z).to_ints()
+        )
         value_commitment_scalars = [
             c * zz % L * ze % L for ze in powers(z, m)
         ]
@@ -264,15 +268,16 @@ def batch_verify(
     if not proofs:
         return
 
+    from ..native import ScalarVec
+
     max_m = max(len(vc) for vc in value_commitments)
     nm_max = n * max_m
-    num_static = 2 + 2 * nm_max  # B_blinding, B, G, H
-    static_scalars = [0] * num_static
     static_points = (
         [pc_gens.B_blinding, pc_gens.B]
         + bp_gens.G(n, max_m)
         + bp_gens.H(n, max_m)
     )
+    static_acc = ScalarVec.from_ints([0] * (2 + 2 * nm_max))
     dyn_scalars: list[int] = []
     dyn_points: list[RistrettoPoint] = []
 
@@ -299,17 +304,16 @@ def batch_verify(
         v_s = scalars[n_dyn_head + 2 + 2 * nm:]
         v_p = points[n_dyn_head + 2 + 2 * nm:]
 
-        dyn_scalars.extend(x * weight % L for x in head_s + v_s)
+        dyn_scalars.extend(
+            ScalarVec.from_ints(head_s + v_s).scale(weight).to_ints()
+        )
         dyn_points.extend(head_p + v_p)
-        static_scalars[0] = (static_scalars[0] + weight * bb_s) % L
-        static_scalars[1] = (static_scalars[1] + weight * b_s) % L
-        for i in range(nm):
-            static_scalars[2 + i] = (static_scalars[2 + i] + weight * g_s[i]) % L
-            static_scalars[2 + nm_max + i] = (
-                static_scalars[2 + nm_max + i] + weight * h_s[i]
-            ) % L
+        # static columns accumulate weight * scalar, zero-padded to nm_max
+        pad = [0] * (nm_max - nm)
+        col = ScalarVec.from_ints([bb_s, b_s] + g_s + pad + h_s + pad)
+        static_acc = static_acc.add(col.scale(weight))
 
     if not get_engine().msm_is_identity(
-        static_scalars + dyn_scalars, static_points + dyn_points
+        static_acc.to_ints() + dyn_scalars, static_points + dyn_points
     ):
         raise VerificationError("batch range proof verification failed")
