@@ -69,3 +69,61 @@ def test_distributed_mpc_prove():
         bp, pc, ProofTranscript(b"mpc hosts"), commitments, 16
     )
     assert len(commitments) == 4
+
+
+def test_distributed_mpc_byzantine_host_attributed():
+    """A host corrupting its share payload on the wire is caught by the
+    dealer audit and attributed to the right party positions."""
+    from zkvm_tpu.parallel import mpc_hosts
+    from zkvm_tpu.proofs.errors import MPCError
+
+    bp = BulletproofGens(16, 4)
+    pc = PedersenGens()
+    r = random.Random(5)
+    values = [[r.randrange(1 << 16) for _ in range(2)] for _ in range(2)]
+    blindings = [[r.randrange(L) for _ in range(2)] for _ in range(2)]
+
+    def corrupt(payload: bytes) -> bytes:
+        shares = mpc_hosts.deserialize_shares(payload)
+        shares[0].t_x = (shares[0].t_x + 1) % L  # host 1, party idx 2
+        return mpc_hosts.serialize_shares(shares)
+
+    with pytest.raises(MPCError) as ei:
+        distributed_prove(
+            bp, pc, b"mpc byz", values, blindings, 16, corrupt={1: corrupt}
+        )
+    assert ei.value.bad_shares == [2]  # global party index of the bad share
+
+
+def test_mpc_wire_round_trips():
+    """Typed wire serialization round-trips and rejects junk."""
+    from zkvm_tpu.parallel import mpc_hosts
+    from zkvm_tpu.proofs.errors import MPCError
+    from zkvm_tpu.proofs.mpc import ProofShare
+
+    shares = [ProofShare(1, 2, 3, [4, 5], [6, 7]),
+              ProofShare(L - 1, 0, 9, [], [8])]
+    data = mpc_hosts.serialize_shares(shares)
+    back = mpc_hosts.deserialize_shares(data)
+    assert [s.__dict__ for s in back] == [s.__dict__ for s in shares]
+    with pytest.raises(MPCError):
+        mpc_hosts.deserialize_shares(data + b"\x00")
+    # non-canonical scalar rejected
+    bad = bytearray(data)
+    bad[4:36] = (L + 1).to_bytes(32, "little")
+    with pytest.raises(MPCError):
+        mpc_hosts.deserialize_shares(bytes(bad))
+    kind, sc = mpc_hosts.deserialize_challenge(
+        mpc_hosts.serialize_challenge("bit", 11, 22)
+    )
+    assert kind == "bit" and sc == [11, 22]
+
+
+def test_allgather_transport_single_process():
+    """The DCN transport degenerates correctly at process_count()==1."""
+    from zkvm_tpu.parallel.mpc_hosts import AllgatherTransport
+
+    t = AllgatherTransport()
+    assert t.num_hosts == 1 and t.rank == 0
+    assert t.gather(b"hello") == [b"hello"]
+    assert t.broadcast(b"world") == b"world"

@@ -30,7 +30,7 @@ def _build_and_load():
     ):
         os.makedirs(build_dir, exist_ok=True)
         subprocess.run(
-            ["c++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["c++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
              "-o", so_path] + srcs,
             check=True, capture_output=True,
         )

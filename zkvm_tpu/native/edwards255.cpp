@@ -182,24 +182,47 @@ void ed_msm(const uint8_t* scalars, const uint8_t* points, int n, int ct,
             uint8_t* out) {
     ge* tables = new ge[(size_t)n * 8];
     int8_t* digits = new int8_t[(size_t)n * 64];
-    for (int i = 0; i < n; i++) {
-        ge p;
-        ge_frombytes(p, points + 128 * i);
-        build_table8(tables + 8 * i, p);
-        to_radix_16(digits + 64 * i, scalars + 32 * i);
-    }
-    ge acc;
-    ge_id(acc);
-    for (int w = 63; w >= 0; w--) {
-        if (w != 63) {
-            ge_double(acc, acc);
-            ge_double(acc, acc);
-            ge_double(acc, acc);
-            ge_double(acc, acc);
+    parallel_ranges(n, 16, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            ge p;
+            ge_frombytes(p, points + 128 * i);
+            build_table8(tables + 8 * i, p);
+            to_radix_16(digits + 64 * i, scalars + 32 * i);
         }
-        for (int i = 0; i < n; i++) {
-            add_digit(acc, tables + 8 * i, digits[64 * i + w], ct);
+    });
+    // each worker runs Straus over its slice of points (own doubling
+    // chain), partial results tree-add at the end
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? hw : 1);
+    if (nthreads > 1 && n / nthreads < 32) nthreads = n / 32;
+    if (nthreads < 1) nthreads = 1;
+    std::vector<ge> partial(nthreads);
+    parallel_ranges(nthreads, 1, [&](int tlo, int thi) {
+        int chunk = (n + nthreads - 1) / nthreads;
+        for (int t = tlo; t < thi; t++) {
+            int lo = t * chunk;
+            int hi = lo + chunk < n ? lo + chunk : n;
+            ge acc;
+            ge_id(acc);
+            for (int w = 63; w >= 0; w--) {
+                if (w != 63) {
+                    ge_double(acc, acc);
+                    ge_double(acc, acc);
+                    ge_double(acc, acc);
+                    ge_double(acc, acc);
+                }
+                for (int i = lo; i < hi; i++) {
+                    add_digit(acc, tables + 8 * i, digits[64 * i + w], ct);
+                }
+            }
+            partial[t] = acc;
         }
+    });
+    ge acc = partial[0];
+    for (int t = 1; t < nthreads; t++) {
+        ge s;
+        ge_add(s, acc, partial[t]);
+        acc = s;
     }
     ge_tobytes(out, acc);
     delete[] tables;
@@ -210,7 +233,8 @@ void ed_msm(const uint8_t* scalars, const uint8_t* points, int n, int ct,
 // double-base muls sharing one digit loop per element)
 void ed_fold(const uint8_t* s1, const uint8_t* s2, const uint8_t* P,
              const uint8_t* Q, int n, int ct, uint8_t* out) {
-    for (int i = 0; i < n; i++) {
+    parallel_ranges(n, 8, [&](int lo, int hi) {
+    for (int i = lo; i < hi; i++) {
         ge tp[8], tq[8], p, q;
         int8_t dp[64], dq[64];
         ge_frombytes(p, P + 128 * i);
@@ -233,17 +257,20 @@ void ed_fold(const uint8_t* s1, const uint8_t* s2, const uint8_t* P,
         }
         ge_tobytes(out + 128 * i, acc);
     }
+    });
 }
 
 // elementwise batch add: out[i] = A[i] + B[i]
 void ed_add_batch(const uint8_t* A, const uint8_t* B, int n, uint8_t* out) {
-    for (int i = 0; i < n; i++) {
-        ge a, b, s;
-        ge_frombytes(a, A + 128 * i);
-        ge_frombytes(b, B + 128 * i);
-        ge_add(s, a, b);
-        ge_tobytes(out + 128 * i, s);
-    }
+    parallel_ranges(n, 512, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            ge a, b, s;
+            ge_frombytes(a, A + 128 * i);
+            ge_frombytes(b, B + 128 * i);
+            ge_add(s, a, b);
+            ge_tobytes(out + 128 * i, s);
+        }
+    });
 }
 
 // precompute the radix-16 fixed-base table for a slot (window w holds
@@ -283,18 +310,20 @@ void ed_fixed_mul(int slot, const uint8_t* scalar, int ct, uint8_t* out) {
 // n Pedersen commitments v*B + gamma*B_blinding in one call)
 void ed_fixed_commit_batch(int slot_v, int slot_b, const uint8_t* vs,
                            const uint8_t* bs, int n, int ct, uint8_t* out) {
-    for (int i = 0; i < n; i++) {
-        int8_t dv[64], db[64];
-        to_radix_16(dv, vs + 32 * i);
-        to_radix_16(db, bs + 32 * i);
-        ge acc;
-        ge_id(acc);
-        for (int w = 0; w < 64; w++) {
-            add_digit(acc, FIXED[slot_v][w], dv[w], ct);
-            add_digit(acc, FIXED[slot_b][w], db[w], ct);
+    parallel_ranges(n, 32, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            int8_t dv[64], db[64];
+            to_radix_16(dv, vs + 32 * i);
+            to_radix_16(db, bs + 32 * i);
+            ge acc;
+            ge_id(acc);
+            for (int w = 0; w < 64; w++) {
+                add_digit(acc, FIXED[slot_v][w], dv[w], ct);
+                add_digit(acc, FIXED[slot_b][w], db[w], ct);
+            }
+            ge_tobytes(out + 128 * i, acc);
         }
-        ge_tobytes(out + 128 * i, acc);
-    }
+    });
 }
 
 int ed_constants_ready() { return ED_SET ? 1 : 0; }

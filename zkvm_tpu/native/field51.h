@@ -10,6 +10,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -204,6 +206,30 @@ inline void fe_abs(fe& out, const fe& a) {
 inline void fe_one(fe& out) {
     memset(&out, 0, sizeof out);
     out.v[0] = 1;
+}
+
+// split [0, n) across worker threads when the per-item cost justifies the
+// ~30us thread spawn; body(lo, hi) must touch disjoint output ranges
+template <typename F>
+inline void parallel_ranges(int n, int min_per_thread, F body) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? hw : 1);
+    if (nthreads > 1 && n / nthreads < min_per_thread) {
+        nthreads = n / min_per_thread;
+    }
+    if (nthreads <= 1) {
+        body(0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int lo = t * chunk;
+        int hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        ts.emplace_back([=] { body(lo, hi); });
+    }
+    for (auto& th : ts) th.join();
 }
 
 }  // namespace f51

@@ -74,7 +74,8 @@ void ristretto_set_constants(const uint8_t* d, const uint8_t* sqrt_m1,
 // ok[i] = 1 when the encoding is valid.  Mirrors oracle decompress exactly.
 void ristretto_decompress_batch(const uint8_t* in, int n, uint8_t* out,
                                 uint8_t* ok) {
-    for (int i = 0; i < n; i++) {
+    parallel_ranges(n, 64, [&](int lo, int hi) {
+    for (int i = lo; i < hi; i++) {
         const uint8_t* b = in + 32 * i;
         uint8_t* o = out + 128 * i;
         ok[i] = 0;
@@ -115,6 +116,7 @@ void ristretto_decompress_batch(const uint8_t* in, int n, uint8_t* out,
         fe_tobytes(o + 64, one);
         fe_tobytes(o + 96, xy);
     }
+    });
 }
 
 // in: n * 128 bytes extended coords (X,Y,Z,T canonical 32-byte LE);
