@@ -88,6 +88,185 @@ def test_utreexo_atomic_on_bad_proof():
     assert u.root_list() == snapshot  # unchanged
 
 
+def test_utreexo_randomized_property():
+    """N random blocks of interleaved insert/delete; a wallet refreshes every
+    proof through each block's Catchup and every survivor must stay provable
+    (upstream forest.rs randomized update tests)."""
+    rng = random.Random(2024)
+    u = Utreexo()
+    proofs: dict[bytes, UtreexoProof] = {}
+    next_id = 0
+
+    for _block in range(30):
+        live = list(proofs)
+        k_del = rng.randint(0, min(4, len(live)))
+        victims = rng.sample(live, k_del)
+        k_ins = rng.randint(0, 5)
+        fresh = [b"rnd-%d" % (next_id + i) for i in range(k_ins)]
+        next_id += k_ins
+
+        c = u.update([(v, proofs[v]) for v in victims], fresh)
+        u.check_invariants()
+        for v in victims:
+            old = proofs.pop(v)
+            # deleted items must not be resurrectable through the catchup
+            with pytest.raises(UtreexoError):
+                u.verify(v, c.update_proof(v, old))
+        for it in list(proofs):
+            proofs[it] = c.update_proof(it, proofs[it])
+            u.verify(it, proofs[it])
+        for it in fresh:
+            proofs[it] = c.proof_for_new_item(it)
+            u.verify(it, proofs[it])
+        assert u.num_leaves == len(proofs)
+
+
+def test_utreexo_same_block_deletions_order_independent():
+    """Multiple deletions in ONE update must succeed regardless of list
+    order and land on the same forest: all proofs are resolved against the
+    pre-state fragment set before any carries run (the eager-carry design
+    this replaced failed when a reinserted sibling merged into another
+    tree's root ahead of a later deletion)."""
+    items = _items(13)  # 13 = 0b1101: trees of height 3, 2, 0
+    base = Utreexo()
+    c = base.update([], items)
+    proofs = {it: c.proof_for_new_item(it) for it in items}
+    # victims spanning different trees, plus a sibling pair
+    victims = [items[0], items[1], items[8], items[12], items[5]]
+
+    hashes = set()
+    for seed in range(6):
+        order = list(victims)
+        random.Random(seed).shuffle(order)
+        u = Utreexo()
+        u.roots = list(base.roots)
+        u.num_leaves = base.num_leaves
+        c2 = u.update([(v, proofs[v]) for v in order], [b"post"])
+        hashes.add(u.state_hash())
+        for it in items:
+            if it not in victims:
+                u.verify(it, c2.update_proof(it, proofs[it]))
+    assert len(hashes) == 1
+
+
+def test_utreexo_double_delete_rejected():
+    u = Utreexo()
+    items = _items(4)
+    c = u.update([], items)
+    p = c.proof_for_new_item(items[0])
+    snapshot = u.root_list()
+    with pytest.raises(UtreexoError):
+        u.update([(items[0], p), (items[0], p)], [])
+    assert u.root_list() == snapshot
+
+
+def test_utreexo_adversarial_mutated_proofs():
+    """Bit-flipped neighbors and wrong positions must fail verify AND must
+    not sneak through a catchup re-base."""
+    u = Utreexo()
+    items = _items(8)
+    c = u.update([], items)
+    p = c.proof_for_new_item(items[3])
+    u.verify(items[3], p)
+
+    for lvl in range(len(p.neighbors)):
+        bad = UtreexoProof(p.position, list(p.neighbors))
+        bad.neighbors[lvl] = bytes(b ^ 0x01 for b in bad.neighbors[lvl])
+        with pytest.raises(UtreexoError):
+            u.verify(items[3], bad)
+        with pytest.raises(UtreexoError):
+            c2 = u.copy().update([(items[3], bad)], [])
+            del c2
+    wrong_pos = UtreexoProof(p.position ^ 0b1, p.neighbors)
+    with pytest.raises(UtreexoError):
+        u.verify(items[3], wrong_pos)
+    # a proof for one item never verifies another
+    with pytest.raises(UtreexoError):
+        u.verify(items[4], p)
+
+
+def test_catchup_chain_multi_block_stale_proofs():
+    """A wallet offline for several blocks re-bases through the retained
+    window of Catchups (CatchupChain); beyond the window it fails loudly."""
+    from zkvm_tpu.chain.utreexo import CatchupChain
+
+    u = Utreexo()
+    items = _items(10)
+    c0 = u.update([], items)
+    stale = {it: c0.proof_for_new_item(it) for it in items}
+
+    chain = CatchupChain(max_window=3)
+    # three blocks pass while the wallet sleeps; each block's spender holds
+    # a CURRENT proof (re-based through the prior catchups)
+    chain.push(u.update([(items[0], stale[items[0]])], [b"b1"]))
+    b1p = chain.catchups[-1].proof_for_new_item(b"b1")
+    p1 = chain.update_proof(items[1], stale[items[1]], stale_by=1)
+    chain.push(u.update([(items[1], p1)], [b"b2", b"b3"]))
+    b1p = chain.catchups[-1].update_proof(b"b1", b1p)  # re-base past block 2
+    chain.push(u.update([(b"b1", b1p)], []))
+
+    for it in items[2:]:
+        fresh = chain.update_proof(it, stale[it], stale_by=3)
+        u.verify(it, fresh)
+    # un-re-based stale proofs no longer verify directly
+    with pytest.raises(UtreexoError):
+        u.verify(items[2], stale[items[2]])
+    # window bound enforced
+    with pytest.raises(UtreexoError):
+        chain.update_proof(items[2], stale[items[2]], stale_by=4)
+    # deleted-in-window items cannot be caught up
+    with pytest.raises(UtreexoError):
+        p = chain.update_proof(items[0], stale[items[0]], stale_by=3)
+        u.verify(items[0], p)
+
+
+def test_utreexo_serialization_round_trips():
+    u = Utreexo()
+    items = _items(11)
+    c = u.update([], items)
+    p = c.proof_for_new_item(items[2])
+
+    u2 = Utreexo.deserialize(u.serialize())
+    assert u2.state_hash() == u.state_hash()
+    assert u2.num_leaves == u.num_leaves
+    u2.verify(items[2], p)
+
+    p2 = UtreexoProof.deserialize(p.serialize())
+    assert (p2.position, p2.neighbors) == (p.position, p.neighbors)
+
+    c2 = Catchup.deserialize(c.serialize())
+    assert c2.parent == c.parent and c2.root_set == c.root_set
+    u2.verify(items[5], c2.proof_for_new_item(items[5]))
+
+    # corrupted payloads raise, never mis-parse
+    with pytest.raises(UtreexoError):
+        Utreexo.deserialize(u.serialize() + b"\x00")
+    raw = bytearray(u.serialize())
+    raw[8+4] = 63  # first root height -> nonsense: invariant sum breaks
+    with pytest.raises(UtreexoError):
+        Utreexo.deserialize(bytes(raw))
+    with pytest.raises(UtreexoError):
+        UtreexoProof.deserialize(p.serialize() + b"\x01")
+
+
+def test_blockchain_state_serialization():
+    from zkvm_tpu.chain import BlockchainState
+    from zkvm_tpu.chain.state import BlockchainError
+
+    st = BlockchainState.make_initial(timestamp_ms=1000)
+    st.utreexo.update([], _items(5))
+    st.tip.utxoroot = st.utreexo.state_hash()
+
+    back = BlockchainState.deserialize(st.serialize())
+    assert back.tip == st.tip
+    assert back.utreexo.state_hash() == st.utreexo.state_hash()
+
+    # a tip that disagrees with the restored forest is rejected
+    st.tip.utxoroot = b"\xff" * 32
+    with pytest.raises(BlockchainError):
+        BlockchainState.deserialize(st.serialize())
+
+
 def test_siphash_vector():
     """SipHash-2-4 reference vector (from the SipHash paper appendix)."""
     key = bytes(range(16))

@@ -35,6 +35,27 @@ class BlockchainState:
             utreexo=u,
         )
 
+    def serialize(self) -> bytes:
+        """Durable node state for restart (tip header + utreexo forest) —
+        upstream slingshot/blockchain state.rs's checkpoint payload."""
+        from ..vm.encoding import Writer
+        w = Writer()
+        self.tip.encode(w)
+        w.write_prefixed_bytes(self.utreexo.serialize())
+        return w.to_bytes()
+
+    @staticmethod
+    def deserialize(data: bytes) -> "BlockchainState":
+        from ..vm.encoding import Reader
+        r = Reader(data)
+        tip = BlockHeader.parse(r)
+        utreexo = Utreexo.deserialize(r.read_prefixed_bytes())
+        if not r.done():
+            raise BlockchainError("trailing bytes in blockchain state")
+        if tip.utxoroot != utreexo.state_hash():
+            raise BlockchainError("utxoroot does not match restored forest")
+        return BlockchainState(tip=tip, utreexo=utreexo)
+
     def make_block(
         self,
         txs: list[Tx],
