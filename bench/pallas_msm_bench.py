@@ -69,21 +69,20 @@ def bench_size(log_n: int, wbits: int | None):
     digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits))
 
     t0 = time.time()
-    out = pm.msm_pallas(pts, digits, wbits, False)
+    out = pm.window_totals(pts, digits, wbits, False)
     np.asarray(out.x)
     compile_s = time.time() - t0
 
-    # same-shape sanity: zero digits -> identity
-    z = pm.msm_pallas(pts, jnp.zeros_like(digits), wbits, False)
-    from zkvm_tpu.kernels.limbs import limbs_to_field_ints
-    zx = limbs_to_field_ints(np.asarray(z.x)[None])[0]
-    assert zx == 0, "zero MSM is not the identity"
+    # same-shape sanity: zero digits -> identity totals
+    z = pm.window_totals(pts, jnp.zeros_like(digits), wbits, False)
+    zc = pm.combine_window_totals(z, wbits)
+    assert zc[0] % P == 0, "zero MSM is not the identity"
 
     times = []
     for _ in range(ITERS):
         t0 = time.time()
-        out = pm.msm_pallas(pts, digits, wbits, False)
-        np.asarray(out.x)  # block_until_ready lies on the axon tunnel
+        totals = pm.window_totals(pts, digits, wbits, False)
+        res = pm.combine_window_totals(totals, wbits)  # forces the fetch
         times.append(time.time() - t0)
     best = min(times)
     vps = n / best / 147

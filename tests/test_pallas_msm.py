@@ -117,6 +117,39 @@ def test_msm_pallas_unrolled_combine_matches():
     _assert_proj_eq(a, b)
 
 
+@pytest.mark.parametrize("wbits,nw", [(8, 32), (16, 16), (11, 24)])
+def test_combine_window_totals_parity(wbits, nw):
+    """Host Horner combine == direct sum of 2^(w*wbits) * P_w at full
+    256-bit width (wbits=11 makes the top weight exceed l, which the
+    exact doubling chain must survive — mod-l folding would not)."""
+    pts = _rand_points(nw, seed=nw * 31 + wbits)
+    totals = pm.pack_points_lm(pts)
+    got = pm.combine_window_totals(totals, wbits)
+    expect = oe.IDENTITY
+    for w, p in enumerate(pts):
+        expect = oe.add(expect, oe.scalar_mul(1 << (w * wbits), p))
+    _assert_proj_eq(got, expect)
+    # the pure-oracle fallback path must agree with whatever ran above
+    acc = pts[-1]
+    for w in range(nw - 2, -1, -1):
+        for _ in range(wbits):
+            acc = oe.double(acc)
+        acc = oe.add(acc, pts[w])
+    _assert_proj_eq(acc, expect)
+
+
+def test_msm_split_path_full_width():
+    """window_totals + combine at full 256-bit scalars (the production
+    path), small n so interpret mode stays fast."""
+    n = 6
+    r = random.Random(77)
+    pts = _rand_points(n, seed=77)
+    ks = [r.randrange(L) for _ in range(n)]
+    expect = oe.multiscalar_mul(ks, pts)
+    got = pm.msm(pts, ks, wbits=16, interpret=True)
+    _assert_proj_eq(got, expect)
+
+
 def test_best_wbits_monotone():
     ws = [pm.best_wbits(1 << k) for k in (8, 12, 14, 16, 18, 20)]
     assert all(8 <= w <= 20 for w in ws)
@@ -129,3 +162,51 @@ def test_signed_digits_nbits_truncation():
     assert d.shape == (4, 4)
     for j, k in enumerate(ks):
         assert sum(int(d[j, i]) << (8 * i) for i in range(4)) == k
+
+
+def test_seq_pipeline_end_to_end():
+    """The sequential-chunk bucket pipeline (production path for
+    n >= SEQ_LANES*SEQ_BLOCK) end-to-end vs the oracle at n=4096 — covers
+    the in-kernel K-chunk scan, cross-lane roll-scan, fixup, scatter, and
+    two-stage weighted fold, none of which the small-n tests reach.
+
+    Runs in a SUBPROCESS: the XLA CPU compiler intermittently segfaults on
+    this interpret-mode graph when other large compiles preceded it in the
+    same process (same flake as test_msm_vectorized_variant_parity; passes
+    reliably in isolation)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import random
+        from zkvm_tpu.constants import L, P
+        from zkvm_tpu.kernels import pallas_msm as pm
+        from zkvm_tpu.oracle import edwards as oe
+        from zkvm_tpu.oracle.ristretto import RistrettoPoint
+
+        n = pm.SEQ_LANES * pm.SEQ_BLOCK
+        r = random.Random(99)
+        rr = random.Random(99)
+        base = [RistrettoPoint.from_uniform_bytes(
+            rr.getrandbits(512).to_bytes(64, "little")).ep
+            for _ in range(64)]
+        pts = [base[i % 64] for i in range(n)]
+        ks = [r.randrange(L) for _ in range(n)]
+        expect = oe.multiscalar_mul(ks, pts)
+        got = pm.msm(pts, ks, wbits=8, interpret=True)
+        gx, gy, gz, _ = got
+        ex, ey, ez, _ = expect
+        assert (gx * ez - ex * gz) % P == 0
+        assert (gy * ez - ey * gz) % P == 0
+        print("SEQ-PIPELINE-OK")
+    """)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1200,
+    )
+    assert res.returncode == 0 and "SEQ-PIPELINE-OK" in res.stdout, (
+        res.stderr[-2000:]
+    )

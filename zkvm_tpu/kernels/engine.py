@@ -86,8 +86,9 @@ class JaxEngine(Engine):
             pts, digits = pmsm.pad_batch_lm(pts, digits)
             import jax
             interpret = jax.default_backend() not in ("tpu", "axon")
-            return _unpack_single(
-                pmsm.msm_pallas(pts, digits, wbits, interpret)
+            totals = pmsm.window_totals(pts, digits, wbits, interpret)
+            return ristretto.RistrettoPoint(
+                pmsm.combine_window_totals(totals, wbits)
             )
         wbits = self.wbits or 16
         pts = pack_point_list(points)

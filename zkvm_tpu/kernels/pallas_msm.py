@@ -57,28 +57,30 @@ def neg_lm(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _vmem_mul(a, b):
-    """Field mul on (NLIMBS, T) blocks resident in VMEM (pad/concat only —
+    """Field mul on (NLIMBS, ...) blocks resident in VMEM (pad/concat only —
     Pallas TPU has no scatter lowering).  Same schedule as
     pallas_field._vmem_mul; duplicated here so the MSM kernels are
-    self-contained for the copy of record."""
+    self-contained for the copy of record.  Rank-agnostic: limbs on axis 0,
+    any batch shape behind."""
+    tail = [(0, 0)] * (a.ndim - 1)
     total = None
     for j in range(NLIMBS):
-        prod = a * b[j: j + 1, :]
-        padded = jnp.pad(prod, [(j, NLIMBS - 1 - j), (0, 0)])
+        prod = a * b[j: j + 1]
+        padded = jnp.pad(prod, [(j, NLIMBS - 1 - j)] + tail)
         total = padded if total is None else total + padded
-    high = total[NLIMBS:, :]
+    high = total[NLIMBS:]
     hi = high >> LIMB_BITS
     lo = high & LIMB_MASK
     r = (
-        total[:NLIMBS, :]
-        + jnp.pad(WRAP * lo, [(0, 1), (0, 0)])
-        + jnp.pad(WRAP * hi, [(1, 0), (0, 0)])
+        total[:NLIMBS]
+        + jnp.pad(WRAP * lo, [(0, 1)] + tail)
+        + jnp.pad(WRAP * hi, [(1, 0)] + tail)
     )
     for _ in range(3):
         hi = r >> LIMB_BITS
         lo = r & LIMB_MASK
         r = jnp.concatenate(
-            [lo[:1, :] + WRAP * hi[-1:, :], lo[1:, :] + hi[:-1, :]], axis=0
+            [lo[:1] + WRAP * hi[-1:], lo[1:] + hi[:-1]], axis=0
         )
     return r
 
@@ -87,7 +89,7 @@ def _carry_tile(x):
     hi = x >> LIMB_BITS
     lo = x & LIMB_MASK
     return jnp.concatenate(
-        [lo[:1, :] + WRAP * hi[-1:, :], lo[1:, :] + hi[:-1, :]], axis=0
+        [lo[:1] + WRAP * hi[-1:], lo[1:] + hi[:-1]], axis=0
     )
 
 
@@ -315,16 +317,393 @@ def _bucket_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
     )  # (NLIMBS, nw)
 
 
+# ------------------------------------------------- sequential-chunk pipeline
+# The associative_scan pipeline above pays ~3.5 ms of strided-slice relayout
+# per scan level (measured, bench/msm_stages.py: 326 of 433 ms at 2^16 in the
+# scan, while chained adds sustain >200 Madd/s).  This pipeline does the same
+# segmented bucket accumulation with ~n point-adds in ONE Pallas kernel that
+# walks each lane's contiguous run sequentially (TPU grids execute in order,
+# so a VMEM scratch carries the running segment across grid steps), plus a
+# tiny cross-lane roll-scan and a <=1-add-per-lane fixup.
+
+SEQ_LANES = 512   # M: lanes per window, each owning a contiguous run
+SEQ_BLOCK = 8     # K-positions consumed per grid step
+SCAN_TILE = 128   # lanes per grid step
+FOLD_LANES = 128  # bucket-fold lanes per window
+FOLD_BLOCK = 8    # buckets consumed per fold grid step
+FOLD_TILE = 512   # fold lanes per grid step (flattened nw*FOLD_LANES)
+
+
+def _identity_planes(shape):
+    """Identity-point coordinate tiles of (NLIMBS,) + shape."""
+    one = (jax.lax.broadcasted_iota(jnp.int32, (NLIMBS,) + shape, 0) == 0)
+    zero = jnp.zeros((NLIMBS,) + shape, jnp.int32)
+    return zero, one.astype(jnp.int32), one.astype(jnp.int32), zero
+
+
+def _seq_scan_kernel(px, py, pz, pt, f_ref, d2_ref,
+                     ox, oy, oz, ot, cx, cy, cz, ct):
+    """Segmented inclusive scan along each lane's run: KB sequential
+    combines per grid step; c* scratch carries the running segment across
+    K-chunks (grid's last axis iterates K-chunks in order)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        ix, iy, iz, it = _identity_planes(cx.shape[1:])
+        cx[...], cy[...], cz[...], ct[...] = ix, iy, iz, it
+
+    carry = (cx[...], cy[...], cz[...], ct[...])
+    d2 = d2_ref[...]
+    for k in range(SEQ_BLOCK):
+        p = (px[:, 0, k, :], py[:, 0, k, :], pz[:, 0, k, :], pt[:, 0, k, :])
+        s = _add_formula(carry, p, d2)
+        keep = f_ref[:, 0, k, :] != 0  # (1, TM) broadcasts over limbs
+        run = tuple(jnp.where(keep, pc, sc) for pc, sc in zip(p, s))
+        ox[:, 0, k, :], oy[:, 0, k, :], oz[:, 0, k, :], ot[:, 0, k, :] = run
+        carry = run
+    cx[...], cy[...], cz[...], ct[...] = carry
+
+
+def _seq_segmented_scan(pts: PointBatch, flags: jnp.ndarray,
+                        interpret: bool) -> PointBatch:
+    """pts: (NLIMBS, nw, K, M) lane-run layout; flags: (1, nw, K, M).
+    Returns the per-position running segment values (same shape)."""
+    _, nw, K, M = pts.x.shape
+    assert K % SEQ_BLOCK == 0 and M % SCAN_TILE == 0, (K, M)
+    spec = pl.BlockSpec((NLIMBS, 1, SEQ_BLOCK, SCAN_TILE),
+                        lambda w, m, k: (0, w, k, m),
+                        memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, 1, SEQ_BLOCK, SCAN_TILE),
+                         lambda w, m, k: (0, w, k, m),
+                         memory_space=pltpu.VMEM)
+    d2spec = pl.BlockSpec((NLIMBS, SCAN_TILE), lambda w, m, k: (0, 0),
+                          memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct(pts.x.shape, jnp.int32)
+    out = pl.pallas_call(
+        _seq_scan_kernel,
+        out_shape=(shp,) * 4,
+        grid=(nw, M // SCAN_TILE, K // SEQ_BLOCK),
+        in_specs=[spec] * 4 + [fspec, d2spec],
+        out_specs=(spec,) * 4,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, SCAN_TILE), jnp.int32)] * 4,
+        interpret=interpret,
+    )(pts.x, pts.y, pts.z, pts.t, flags,
+      jnp.asarray(_D2_TILE[:, :SCAN_TILE]))
+    return PointBatch(*out)
+
+
+def _lane_scan_kernel(tx, ty, tz, tt, f_ref, d2_ref, ox, oy, oz, ot):
+    """Segmented Hillis-Steele scan ACROSS lanes of the per-lane tails
+    (all windows in one block — TPU lowering requires the second-to-last
+    block dim to equal the array dim, and nw*M is tiny), emitted as the
+    EXCLUSIVE incoming prefix for each lane (the running segment value
+    flowing into the lane's head run)."""
+    val = (tx[...], ty[...], tz[...], tt[...])   # (NLIMBS, nw, M)
+    f = f_ref[...]                               # (1, nw, M)
+    d2 = d2_ref[...][:, None, :]
+    M = val[0].shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
+    ident = _identity_planes(val[0].shape[1:])
+    s = 1
+    while s < M:
+        rolled = tuple(pltpu.roll(v, s, 2) for v in val)
+        fr = pltpu.roll(f, s, 2)
+        edge = lane < s
+        rolled = tuple(jnp.where(edge, i, r) for i, r in zip(ident, rolled))
+        fr = jnp.where(edge, 1, fr)
+        summed = _add_formula(rolled, val, d2)
+        keep = f != 0
+        val = tuple(jnp.where(keep, v, sm) for v, sm in zip(val, summed))
+        f = f | fr
+        s *= 2
+    # exclusive shift: incoming[m] = inclusive[m-1]; lane 0 gets identity
+    rolled = tuple(pltpu.roll(v, 1, 2) for v in val)
+    edge = lane < 1
+    out = tuple(jnp.where(edge, i, r) for i, r in zip(ident, rolled))
+    ox[...], oy[...], oz[...], ot[...] = out
+
+
+def _lane_scan(tails: PointBatch, tail_flags: jnp.ndarray,
+               interpret: bool) -> PointBatch:
+    """tails: (NLIMBS, nw, M); tail_flags: (nw, M) = any segment start in
+    the lane.  Returns incoming prefixes (NLIMBS, nw, M)."""
+    _, nw, M = tails.x.shape
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    d2 = np.ascontiguousarray(
+        np.broadcast_to(int_to_limbs(EDWARDS_D2)[:, None], (NLIMBS, M))
+    ).astype(np.int32)
+    shp = jax.ShapeDtypeStruct(tails.x.shape, jnp.int32)
+    out = pl.pallas_call(
+        _lane_scan_kernel,
+        out_shape=(shp,) * 4,
+        in_specs=[spec] * 6,
+        out_specs=(spec,) * 4,
+        interpret=interpret,
+    )(tails.x, tails.y, tails.z, tails.t, tail_flags[None], jnp.asarray(d2))
+    return PointBatch(*out)
+
+
+def _fold_kernel_factory(rb: int):
+    """Weighted bucket fold, stage 1: each lane owns R consecutive buckets
+    (highest-first grid order); scratch T = running bucket sum, W = running
+    sum of suffix sums, so W = sum (local_rank+1)*B over the lane's run."""
+    def kernel(bx, by, bz, bt, d2_ref, tox, toy, toz, tot,
+               wox, woy, woz, wot, sx, sy, sz, st, vx, vy, vz, vt):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            ix, iy, iz, it = _identity_planes(sx.shape[1:])
+            sx[...], sy[...], sz[...], st[...] = ix, iy, iz, it
+            vx[...], vy[...], vz[...], vt[...] = ix, iy, iz, it
+
+        T = (sx[...], sy[...], sz[...], st[...])
+        W = (vx[...], vy[...], vz[...], vt[...])
+        d2 = d2_ref[...]
+        for r in range(rb - 1, -1, -1):
+            b = (bx[:, r, :], by[:, r, :], bz[:, r, :], bt[:, r, :])
+            T = _add_formula(T, b, d2)
+            W = _add_formula(W, T, d2)
+        sx[...], sy[...], sz[...], st[...] = T
+        vx[...], vy[...], vz[...], vt[...] = W
+        tox[...], toy[...], toz[...], tot[...] = T
+        wox[...], woy[...], woz[...], wot[...] = W
+    return kernel
+
+
+def _fold_combine_kernel(tx, ty, tz, tt, wx, wy, wz, wt, d2_ref,
+                         ox, oy, oz, ot, r_per_lane: int):
+    """Stage 2, all windows in one block: totals = sum_l W_l +
+    R * sum_{l>=1} SufT_l, where SufT is the lane-suffix sum of T
+    (sum_l l*T_l identity).  All reductions are in-block roll scans over
+    the lane axis (per-window independent)."""
+    T = (tx[...], ty[...], tz[...], tt[...])     # (NLIMBS, nw, L)
+    W = (wx[...], wy[...], wz[...], wt[...])
+    d2 = d2_ref[...][:, None, :]
+    L = T[0].shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    ident = _identity_planes(T[0].shape[1:])
+
+    # suffix sums of T: SufT[l] = sum_{l'>=l} T[l']
+    suf = T
+    s = 1
+    while s < L:
+        rolled = tuple(pltpu.roll(v, L - s, 2) for v in suf)  # v[l+s]
+        edge = lane >= L - s
+        rolled = tuple(jnp.where(edge, i, r) for i, r in zip(ident, rolled))
+        suf = _add_formula(suf, rolled, d2)
+        s *= 2
+    # drop lane 0 before summing: sum_{l>=1} SufT_l == sum_l l*T_l
+    suf = tuple(jnp.where(lane == 0, i, v) for i, v in zip(ident, suf))
+
+    def tree_sum(v):
+        s = 1
+        while s < L:
+            rolled = tuple(pltpu.roll(c, s, 2) for c in v)
+            v = _add_formula(v, rolled, d2)
+            s *= 2
+        return v
+
+    lsum = tree_sum(suf)           # every lane = sum_l l*T_l
+    wsum = tree_sum(W)
+    for _ in range(r_per_lane.bit_length() - 1):   # * R (power of two)
+        lsum = _add_formula(lsum, lsum, d2)
+    out = _add_formula(wsum, lsum, d2)
+    ox[...], oy[...], oz[...], ot[...] = out
+
+
+def _weighted_fold_seq(buckets: PointBatch, interpret: bool) -> PointBatch:
+    """buckets: (NLIMBS, nw, nbuckets) with slot s = bucket s+1.
+    Returns per-window weighted totals (NLIMBS, nw)."""
+    _, nw, nbuckets = buckets.x.shape
+    L = min(FOLD_LANES, nbuckets)
+    R = nbuckets // L
+    assert L * R == nbuckets and R % FOLD_BLOCK in (0, R), (L, R)
+    rb = FOLD_BLOCK if R % FOLD_BLOCK == 0 else R
+
+    # slot s = l*R + r -> [r, l], lanes flattened over (nw, L)
+    def lr(c):
+        return c.reshape(NLIMBS, nw, L, R).transpose(0, 3, 1, 2).reshape(
+            NLIMBS, R, nw * L)
+
+    b = PointBatch(lr(buckets.x), lr(buckets.y), lr(buckets.z),
+                   lr(buckets.t))
+    nl = nw * L
+    # largest lane tile <= FOLD_TILE that divides nl (nl is nw*L with L a
+    # multiple of 128, so tl=L always satisfies the fallback; nw is NOT a
+    # power of two in general — e.g. nw=17 at wbits=16)
+    tl = min(FOLD_TILE, nl)
+    while nl % tl:
+        tl -= L
+    assert tl >= L and nl % tl == 0, (nw, L, tl)
+    spec = pl.BlockSpec((NLIMBS, rb, tl), lambda m, r: (0, R // rb - 1 - r, m),
+                        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((NLIMBS, tl), lambda m, r: (0, m),
+                         memory_space=pltpu.VMEM)
+    d2spec = pl.BlockSpec((NLIMBS, tl), lambda m, r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((NLIMBS, nl), jnp.int32)
+    d2 = np.ascontiguousarray(
+        np.broadcast_to(int_to_limbs(EDWARDS_D2)[:, None], (NLIMBS, tl))
+    ).astype(np.int32)
+    outs = pl.pallas_call(
+        _fold_kernel_factory(rb),
+        out_shape=(shp,) * 8,
+        grid=(nl // tl, R // rb),
+        in_specs=[spec] * 4 + [d2spec],
+        out_specs=(ospec,) * 8,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, tl), jnp.int32)] * 8,
+        interpret=interpret,
+    )(b.x, b.y, b.z, b.t, jnp.asarray(d2))
+    T = PointBatch(*outs[:4])
+    W = PointBatch(*outs[4:])
+
+    def wl(c):
+        return c.reshape(NLIMBS, nw, L)
+
+    # all windows in one block: TPU lowering requires the second-to-last
+    # block dim to equal the array dim, and (nw, L) is tiny
+    spec2 = pl.BlockSpec(memory_space=pltpu.VMEM)
+    d2b = np.ascontiguousarray(
+        np.broadcast_to(int_to_limbs(EDWARDS_D2)[:, None], (NLIMBS, L))
+    ).astype(np.int32)
+    shp2 = jax.ShapeDtypeStruct((NLIMBS, nw, L), jnp.int32)
+    outs2 = pl.pallas_call(
+        functools.partial(_fold_combine_kernel, r_per_lane=R),
+        out_shape=(shp2,) * 4,
+        in_specs=[spec2] * 9,
+        out_specs=(spec2,) * 4,
+        interpret=interpret,
+    )(wl(T.x), wl(T.y), wl(T.z), wl(T.t),
+      wl(W.x), wl(W.y), wl(W.z), wl(W.t), jnp.asarray(d2b))
+    return PointBatch(outs2[0][:, :, 0], outs2[1][:, :, 0],
+                      outs2[2][:, :, 0], outs2[3][:, :, 0])
+
+
+def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
+                       interpret: bool) -> PointBatch:
+    """Sequential-chunk bucket pipeline; requires n % (SEQ_LANES *
+    SEQ_BLOCK) == 0 (pad_batch_lm's power-of-two padding satisfies this
+    from n >= 4096)."""
+    nw = digits.shape[1]
+    nbuckets = 1 << (wbits - 1)
+    n = digits.shape[0]
+    M = SEQ_LANES
+    K = n // M
+
+    dT = digits.T                                      # (nw, n)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nw, n))
+    sorted_key, perm = jax.lax.sort_key_val(jnp.abs(dT), idx, dimension=1)
+    sorted_sign = jnp.take_along_axis(dT < 0, perm, axis=1)
+    changed = sorted_key[:, 1:] != sorted_key[:, :-1]
+    ones = jnp.ones((nw, 1), jnp.bool_)
+    start = jnp.concatenate([ones, changed], axis=1)   # (nw, n)
+    is_end = jnp.concatenate([changed, ones], axis=1)
+
+    def lr(a):
+        """Sorted order -> lane-run layout: position p = m*K + k -> [k, m]."""
+        return a.reshape(nw, M, K).transpose(0, 2, 1)
+
+    perm_l = lr(perm)
+    pts = PointBatch(
+        jnp.take(points.x, perm_l, axis=1),            # (NLIMBS, nw, K, M)
+        jnp.take(points.y, perm_l, axis=1),
+        jnp.take(points.z, perm_l, axis=1),
+        jnp.take(points.t, perm_l, axis=1),
+    )
+    pts = cneg_lm(pts, lr(sorted_sign))
+    start_l = lr(start).astype(jnp.int32)
+
+    scanned = _seq_segmented_scan(pts, start_l[None], interpret)
+
+    # cross-lane incoming prefixes from the per-lane tails
+    tails = PointBatch(scanned.x[:, :, K - 1, :], scanned.y[:, :, K - 1, :],
+                       scanned.z[:, :, K - 1, :], scanned.t[:, :, K - 1, :])
+    tail_flag = jnp.max(start_l, axis=1)               # (nw, M)
+    incoming = _lane_scan(tails, tail_flag, interpret)
+
+    # fixup: at most one segment end per lane precedes the lane's first
+    # start flag; only those positions need the incoming prefix added
+    has = jnp.max(start_l, axis=1) > 0
+    first = jnp.where(has, jnp.argmax(start_l, axis=1), K)  # (nw, M)
+    e = first - 1
+    e_cl = jnp.clip(e, 0, K - 1)
+    iend_l = lr(is_end).astype(jnp.int32)
+    end_at_e = jnp.take_along_axis(iend_l, e_cl[:, None, :], axis=1)[:, 0, :]
+    need = (e >= 0) & (e <= K - 1) & (end_at_e != 0)
+
+    def gather_e(c):
+        return jnp.take_along_axis(c, e_cl[None, :, None, :], axis=2)[:, :, 0, :]
+
+    val_e = PointBatch(gather_e(scanned.x), gather_e(scanned.y),
+                       gather_e(scanned.z), gather_e(scanned.t))
+    fixed = point_add_lm(incoming, val_e, interpret)
+    sel = need[None]
+    newv = PointBatch(
+        jnp.where(sel, fixed.x, val_e.x), jnp.where(sel, fixed.y, val_e.y),
+        jnp.where(sel, fixed.z, val_e.z), jnp.where(sel, fixed.t, val_e.t),
+    )
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (nw, K, M), 1)
+    put = (k_iota == e_cl[:, None, :]) & need[:, None, :]   # (nw, K, M)
+    scanned = PointBatch(
+        jnp.where(put[None], newv.x[:, :, None, :], scanned.x),
+        jnp.where(put[None], newv.y[:, :, None, :], scanned.y),
+        jnp.where(put[None], newv.z[:, :, None, :], scanned.z),
+        jnp.where(put[None], newv.t[:, :, None, :], scanned.t),
+    )
+
+    # scatter segment totals into per-window bucket arrays (targets in the
+    # same lane-run layout as the scan values; scatters don't care)
+    stride = nbuckets + 2
+    target = jnp.where(is_end, sorted_key, nbuckets + 1)
+    window_ids = jax.lax.broadcasted_iota(jnp.int32, (nw, K, M), 0)
+    flat_target = (window_ids * stride + lr(target)).reshape(-1)
+    buckets = identity_lm((nw * stride,))
+    buckets = PointBatch(
+        buckets.x.at[:, flat_target].set(scanned.x.reshape(NLIMBS, -1)),
+        buckets.y.at[:, flat_target].set(scanned.y.reshape(NLIMBS, -1)),
+        buckets.z.at[:, flat_target].set(scanned.z.reshape(NLIMBS, -1)),
+        buckets.t.at[:, flat_target].set(scanned.t.reshape(NLIMBS, -1)),
+    )
+    buckets = PointBatch(
+        buckets.x.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
+        buckets.y.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
+        buckets.z.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
+        buckets.t.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
+    )
+    return _weighted_fold_seq(buckets, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def window_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
+                  interpret: bool = False) -> PointBatch:
+    """Device side of the MSM: per-window weighted bucket sums as
+    (NLIMBS, nw) limb-major coords.  The final window combine
+    (acc = 2^w acc + total_w) is nw points of trivial host work — doing it
+    on-device would unroll ~nw*wbits point ops into the XLA graph and blow
+    the compile time (docs/ROUND2-NOTES.md §4), so callers combine on the
+    host: sum_w 2^(w*wbits) * total_w, one tiny native MSM.
+
+    Dispatch: the sequential-chunk pipeline for batch sizes it tiles
+    (n % 4096 == 0 — pad_batch_lm's power-of-two padding guarantees this
+    above 2^12); the associative-scan pipeline for small batches."""
+    n = digits.shape[0]
+    if n % (SEQ_LANES * SEQ_BLOCK) == 0 and n > 0:
+        return _bucket_totals_seq(points, digits, wbits, interpret)
+    return _bucket_totals(points, digits, wbits, interpret)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def msm_pallas(points: PointBatch, digits: jnp.ndarray, wbits: int,
                interpret: bool = False, unroll_combine: bool | None = None
                ) -> PointBatch:
-    """Full MSM on the Pallas pipeline.
+    """Full on-device MSM (device window combine included).
 
     points: limb-major (NLIMBS, n) coords; digits: (n, nw) signed radix-2^w
     (nw may be fewer than ceil(256/wbits) when scalars are short).
     Returns a single point, batch-minor (20,) coords (kernels/point.py
     convention) so callers unpack identically to kernels/msm.py.
+
+    NOTE: production callers use window_totals + a host combine instead —
+    the unrolled combine below costs minutes of XLA compile at full
+    256-bit width and exists for self-contained tests at small nw.
 
     unroll_combine: unroll the final window-combine doubling chain.  On the
     TPU the unrolled chain is one dispatch with no host round trips; on CPU
@@ -353,6 +732,35 @@ def msm_pallas(points: PointBatch, digits: jnp.ndarray, wbits: int,
         return jp.add(acc, jp.gather(tot_bm, widx))
 
     return jax.lax.fori_loop(0, nw - 1, per_window, acc)
+
+
+def combine_window_totals(totals, wbits: int):
+    """Host window combine: totals (NLIMBS, nw) -> oracle extended point.
+    acc = sum_w 2^(w*wbits) * total_w, Horner's rule with an exact doubling
+    chain (~256 doubles + nw adds; no mod-l, so torsion-bearing Edwards
+    representatives match the oracle bit-for-bit).  Upstream pippenger.rs
+    folds this on-device; here nw points of sequential work would unroll
+    ~nw*wbits point ops into the XLA graph and blow the compile time
+    (docs/ROUND2-NOTES.md §4) — the native chain is ~100us."""
+    from ..oracle import edwards as oe
+    from .limbs import limbs_to_field_ints
+
+    nw = totals.x.shape[1]
+    xs = limbs_to_field_ints(np.asarray(totals.x).T)
+    ys = limbs_to_field_ints(np.asarray(totals.y).T)
+    zs = limbs_to_field_ints(np.asarray(totals.z).T)
+    ts = limbs_to_field_ints(np.asarray(totals.t).T)
+    pts = [(xs[w], ys[w], zs[w], ts[w]) for w in range(nw)]
+    from ..native import ed_combine_windows
+    native = ed_combine_windows(pts, wbits)
+    if native is not None:
+        return native
+    acc = pts[-1]
+    for w in range(nw - 2, -1, -1):
+        for _ in range(wbits):
+            acc = oe.double(acc)
+        acc = oe.add(acc, pts[w])
+    return acc
 
 
 def pack_points_lm(points) -> PointBatch:
@@ -392,9 +800,12 @@ def pad_batch_lm(pts: PointBatch, digits: jnp.ndarray
 
 def msm(points_oracle, scalars: list[int], wbits: int | None = None,
         interpret: bool | None = None, nbits: int = 256):
-    """Host wrapper: oracle points + int scalars -> oracle point result."""
+    """Host wrapper: oracle points + int scalars -> oracle point result.
+
+    Production path: device window_totals + host combine_window_totals
+    (the full on-device msm_pallas unrolls the window combine and costs
+    minutes of XLA compile at 256-bit width)."""
     from ..oracle import edwards
-    from . import point as jp
 
     n = len(scalars)
     assert n == len(points_oracle)
@@ -408,7 +819,5 @@ def msm(points_oracle, scalars: list[int], wbits: int | None = None,
     pts = pack_points_lm(points_oracle)
     digits = jnp.asarray(signed_digits_radix_2w(scalars, wbits, nbits))
     pts, digits = pad_batch_lm(pts, digits)
-    out = msm_pallas(pts, digits, wbits, interpret)
-    return jp.unpack_points(
-        PointBatch(out.x[None], out.y[None], out.z[None], out.t[None])
-    )[0]
+    totals = window_totals(pts, digits, wbits, interpret)
+    return combine_window_totals(totals, wbits)

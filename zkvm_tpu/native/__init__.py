@@ -114,6 +114,9 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
     ]
+    lib.ed_combine_windows.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p
+    ]
     from ..constants import EDWARDS_D2
     lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
@@ -240,6 +243,17 @@ def ed_msm(scalars, points, ct: bool = False):
     sbuf = b"".join((int(s) % L).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(128)
     lib.ed_msm(sbuf, _pack_points(points), n, int(ct), out)
+    return _unpack_point(out.raw)
+
+
+def ed_combine_windows(points, wbits: int):
+    """Horner fold sum_w 2^(w*wbits) * points[w] (exact doubling chain, no
+    mod-l), or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(128)
+    lib.ed_combine_windows(_pack_points(points), len(points), wbits, out)
     return _unpack_point(out.raw)
 
 

@@ -326,6 +326,29 @@ void ed_fixed_commit_batch(int slot_v, int slot_b, const uint8_t* vs,
     });
 }
 
+// Horner fold of per-window MSM totals: out = sum_w 2^(w*wbits)*totals[w].
+// Exact doubling chain (no mod-l reduction) so torsion-bearing Edwards
+// representatives combine bit-identically to the oracle — the host half of
+// the Pallas bucket pipeline (kernels/pallas_msm.py window_totals).
+void ed_combine_windows(const uint8_t* totals, int nw, int wbits,
+                        uint8_t* out) {
+    ge acc;
+    if (nw <= 0) {
+        ge_id(acc);
+        ge_tobytes(out, acc);
+        return;
+    }
+    ge_frombytes(acc, totals + 128 * (size_t)(nw - 1));
+    for (int w = nw - 2; w >= 0; w--) {
+        for (int i = 0; i < wbits; i++) ge_double(acc, acc);
+        ge q, s;
+        ge_frombytes(q, totals + 128 * (size_t)w);
+        ge_add(s, acc, q);
+        acc = s;
+    }
+    ge_tobytes(out, acc);
+}
+
 int ed_constants_ready() { return ED_SET ? 1 : 0; }
 
 }  // extern "C"
