@@ -169,3 +169,34 @@ def test_scalarvec_batch_invert_and_powers():
     for p in ps:
         assert p == acc
         acc = acc * x % L
+
+
+def test_fixed_base_engine_parity():
+    """Engine.basepoint_mul / commit / commit_batch (native fixed-base
+    radix-16 tables, upstream EdwardsBasepointTable) vs the oracle, both
+    ct modes, boundary scalars included."""
+    import random
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.oracle.ristretto import BASEPOINT
+    from zkvm_tpu.proofs.engine import get_engine
+    from zkvm_tpu.proofs.generators import PedersenGens
+
+    eng = get_engine()
+    r = random.Random(31)
+    scalars = [0, 1, L - 1, L, 8, (1 << 252)] + [
+        r.randrange(L) for _ in range(12)
+    ]
+    for s in scalars:
+        want = BASEPOINT * s
+        assert eng.basepoint_mul(s, ct=True) == want
+        assert eng.basepoint_mul(s, ct=False) == want
+
+    pc = PedersenGens()
+    vs = [r.randrange(L) for _ in range(9)] + [0]
+    bs = [r.randrange(L) for _ in range(9)] + [0]
+    got = pc.commit_batch(vs, bs)
+    for v, b, g in zip(vs, bs, got):
+        want = pc.B * v + pc.B_blinding * b
+        assert g == want
+        assert pc.commit(v, b) == want

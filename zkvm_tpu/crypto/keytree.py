@@ -14,6 +14,7 @@ from ..constants import L, LABEL_KEYTREE
 from ..oracle import scalar
 from ..oracle.merlin import Transcript
 from ..oracle.ristretto import BASEPOINT, RistrettoPoint
+from ..proofs.engine import get_engine
 from .starsig import VerificationKey
 
 
@@ -24,7 +25,8 @@ class Xpub:
 
     def derive_key(self, customize) -> "Xpub":
         f, child_dk = _derivation(self.point, self.dk, customize)
-        P = RistrettoPoint.decompress(self.point) + BASEPOINT * f
+        P = (RistrettoPoint.decompress(self.point)
+             + get_engine().basepoint_mul(f, ct=False))
         return Xpub(P.compress(), child_dk)
 
     def verification_key(self) -> VerificationKey:
@@ -46,7 +48,8 @@ class Xprv:
         return Xprv(x, dk)
 
     def to_xpub(self) -> Xpub:
-        return Xpub((BASEPOINT * self.scalar_key).compress(), self.dk)
+        return Xpub(
+            get_engine().basepoint_mul(self.scalar_key).compress(), self.dk)
 
     def derive_key(self, customize) -> "Xprv":
         xpub = self.to_xpub()

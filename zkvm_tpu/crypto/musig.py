@@ -16,6 +16,7 @@ from ..constants import L, LABEL_MUSIG
 from ..oracle import scalar
 from ..oracle.merlin import Transcript
 from ..oracle.ristretto import BASEPOINT, RistrettoPoint
+from ..proofs.engine import get_engine
 from .starsig import Signature, VerificationKey, _challenge
 
 
@@ -69,7 +70,7 @@ class Party:
             .finalize(os.urandom(32))
             .random_scalar()
         )
-        self.R_i = (BASEPOINT * self.r).compress()
+        self.R_i = get_engine().basepoint_mul(self.r).compress()
 
     # round 1: precommit H(R_i)
     def precommitment(self) -> bytes:
@@ -120,7 +121,7 @@ def aggregate_shares(
     bad = []
     for i, (R_i, s_i) in enumerate(zip(commitments, shares, strict=True)):
         # s_i * B == R_i + c * a_i * X_i
-        lhs = BASEPOINT * s_i
+        lhs = get_engine().basepoint_mul(s_i, ct=False)
         a_i = multikey.factor(i)
         rhs = RistrettoPoint.decompress(R_i) + (
             multikey.keys[i].decompress() * (c * a_i % L)

@@ -27,7 +27,7 @@ class VerificationKey:
 
     @staticmethod
     def from_secret(x: int) -> "VerificationKey":
-        return VerificationKey((BASEPOINT * (x % L)).compress())
+        return VerificationKey(get_engine().basepoint_mul(x).compress())
 
     def decompress(self) -> RistrettoPoint:
         return RistrettoPoint.decompress(self.point)
@@ -68,7 +68,7 @@ def sign(transcript: Transcript, privkey: int,
             .finalize()
         )
     r = rng.random_scalar()
-    R = (BASEPOINT * r).compress()
+    R = get_engine().basepoint_mul(r).compress()
     c = _challenge(transcript, X, R)
     return Signature((r + c * x) % L, R)
 

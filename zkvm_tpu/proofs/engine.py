@@ -40,6 +40,40 @@ class Engine:
             return ristretto.RistrettoPoint(native)
         return ristretto.multiscalar_mul(scalars, points)
 
+    def basepoint_mul(self, scalar: int,
+                      ct: bool = True) -> ristretto.RistrettoPoint:
+        """scalar * B via the precomputed fixed-base table (upstream
+        EdwardsBasepointTable: 64 radix-16 table adds, zero doublings —
+        measured ~5x the variable-base Straus path, bench/fixed_base_micro).
+        ct=True keeps table selects constant-time for secret scalars
+        (signing nonces, private keys)."""
+        from ..native import ed_fixed_mul, ed_fixed_slot
+        slot = ed_fixed_slot(ristretto.BASEPOINT.ep)
+        if slot is not None:
+            return ristretto.RistrettoPoint(ed_fixed_mul(slot, scalar, ct))
+        return ristretto.BASEPOINT * scalar
+
+    def commit(self, value: int, blinding: int, B, B_blinding
+               ) -> ristretto.RistrettoPoint:
+        """Pedersen commit v*B + b*B_blinding through BOTH fixed-base
+        tables in one native call (128 ct table adds, zero doublings)."""
+        out = self.commit_batch([value], [blinding], B, B_blinding)
+        return out[0]
+
+    def commit_batch(self, values, blindings, B, B_blinding
+                     ) -> list[ristretto.RistrettoPoint]:
+        """[v_i*B + b_i*B_blinding] — thread-parallel native batch over the
+        fixed tables; falls back to per-commit secret MSMs."""
+        from ..native import ed_fixed_commit_batch, ed_fixed_slot
+        sv, sb = ed_fixed_slot(B.ep), ed_fixed_slot(B_blinding.ep)
+        if sv is not None and sb is not None:
+            eps = ed_fixed_commit_batch(sv, sb, values, blindings)
+            return [ristretto.RistrettoPoint(ep) for ep in eps]
+        return [
+            self.msm_secret([v, b], [B, B_blinding])
+            for v, b in zip(values, blindings, strict=True)
+        ]
+
     def msm_is_identity(self, scalars, points) -> bool:
         """Check sum_i s_i P_i == identity (the verifier's single mega-check)."""
         return self.msm(scalars, points).is_identity()

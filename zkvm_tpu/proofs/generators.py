@@ -34,7 +34,16 @@ class PedersenGens:
 
     def commit(self, value: int, blinding: int) -> RistrettoPoint:
         from .engine import get_engine
-        return get_engine().msm([value, blinding], [self.B, self.B_blinding])
+        return get_engine().commit(value, blinding, self.B, self.B_blinding)
+
+    def commit_batch(self, values, blindings) -> list[RistrettoPoint]:
+        """[v_i*B + b_i*B_blinding] in one engine call (native fixed-base
+        tables + threads) — the MPC dealer's per-party V commitments and
+        wallet receiver batches."""
+        from .engine import get_engine
+        return get_engine().commit_batch(
+            values, blindings, self.B, self.B_blinding
+        )
 
 
 class GeneratorsChain:

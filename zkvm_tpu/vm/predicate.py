@@ -16,6 +16,7 @@ from ..crypto.merkle import MerkleTree, Path
 from ..oracle import scalar as sc
 from ..oracle.merlin import Transcript
 from ..oracle.ristretto import BASEPOINT, RistrettoPoint
+from ..proofs.engine import get_engine
 from .encoding import Reader, Writer
 from .errors import FormatError, InvalidPredicateTree
 from .point_ops import PointOp
@@ -52,7 +53,8 @@ class PredicateTree:
 
     def predicate(self) -> Predicate:
         h = self.adjustment_factor()
-        P = RistrettoPoint.decompress(self.key_point) + BASEPOINT * h
+        P = (RistrettoPoint.decompress(self.key_point)
+             + get_engine().basepoint_mul(h, ct=False))
         return Predicate(P.compress())
 
     def call_proof(self, index: int) -> "CallProof":
