@@ -296,7 +296,7 @@ def test_protocol_messages_round_trip():
         GetInventory(1, 7),
         inv,
         GetBlocks(b"\x22" * 32),
-        Blocks([tip]),
+        Blocks([__import__('zkvm_tpu.chain.block', fromlist=['Block']).Block(tip, [], {})]),
         GetMempoolTxs(7, inv.mempool_short_ids),
         MempoolTxs([b"tx-bytes-1", b"tx-bytes-2"]),
     ):

@@ -68,8 +68,50 @@ def txroot(txs: list[Tx]) -> bytes:
 
 @dataclass
 class Block:
+    """Full block: header + txs + the utreexo proofs for every tx input,
+    keyed by contract id (upstream slingshot BlockTx carries its
+    `Vec<utreexo::Proof>` inline for exactly this reason: a syncing peer
+    must be able to re-apply the block against the pre-state forest
+    without any out-of-band proof source)."""
     header: BlockHeader
     txs: list[Tx] = field(default_factory=list)
+    utxo_proofs: dict[bytes, "UtreexoProof"] = field(default_factory=dict)
 
     def id(self) -> bytes:
         return block_id(self.header)
+
+    def encode(self, w: Writer):
+        self.header.encode(w)
+        w.write_u32(len(self.txs))
+        for tx in self.txs:
+            w.write_prefixed_bytes(tx.to_bytes())
+        w.write_u32(len(self.utxo_proofs))
+        for cid in sorted(self.utxo_proofs):
+            w.write_bytes(cid)
+            w.write_prefixed_bytes(self.utxo_proofs[cid].serialize())
+
+    def to_bytes(self) -> bytes:
+        w = Writer()
+        self.encode(w)
+        return w.to_bytes()
+
+    @staticmethod
+    def parse(r: Reader) -> "Block":
+        from .utreexo import UtreexoProof
+        header = BlockHeader.parse(r)
+        txs = [Tx.from_bytes(r.read_prefixed_bytes())
+               for _ in range(r.read_u32())]
+        proofs = {}
+        for _ in range(r.read_u32()):
+            cid = r.read_u8x32()
+            proofs[cid] = UtreexoProof.deserialize(r.read_prefixed_bytes())
+        return Block(header, txs, proofs)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Block":
+        r = Reader(data)
+        b = Block.parse(r)
+        if not r.done():
+            from ..vm.errors import FormatError
+            raise FormatError("trailing bytes in block")
+        return b

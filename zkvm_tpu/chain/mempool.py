@@ -75,11 +75,16 @@ class Mempool:
             )
         ]
 
-    def update_after_block(self, spent_inputs: set[bytes]):
-        """Drop txs that conflict with a newly applied block."""
+    def update_after_block(self, spent_inputs: set[bytes],
+                           included_txids: set[bytes] = frozenset()):
+        """Drop txs included in a newly applied block and txs that now
+        conflict with it.  Eviction by included txid matters for input-less
+        txs (pure issuances): they never conflict on inputs, so without it
+        a mined issuance would re-enter every subsequent block template."""
         stale = [
             txid for txid, e in self.entries.items()
-            if any(cid in spent_inputs for cid in e.verified.inputs)
+            if txid in included_txids
+            or any(cid in spent_inputs for cid in e.verified.inputs)
             or txid in spent_inputs
         ]
         for txid in stale:

@@ -65,15 +65,17 @@ class GetBlocks:
 
 @dataclass
 class Blocks:
-    headers: list[BlockHeader]
+    """Full blocks (txs + embedded utxo proofs), oldest first — the reply
+    a syncing peer applies directly (upstream protocol.rs Blocks)."""
+    blocks: list[Block]
 
     TAG = 4
 
     def encode(self, w: Writer):
         w.write_u8(self.TAG)
-        w.write_u32(len(self.headers))
-        for h in self.headers:
-            h.encode(w)
+        w.write_u32(len(self.blocks))
+        for b in self.blocks:
+            w.write_prefixed_bytes(b.to_bytes())
 
 
 @dataclass
@@ -126,7 +128,8 @@ def parse_message(data: bytes):
         return GetBlocks(r.read_u8x32())
     if tag == Blocks.TAG:
         n = r.read_u32()
-        return Blocks([BlockHeader.parse(r) for _ in range(n)])
+        return Blocks([Block.from_bytes(r.read_prefixed_bytes())
+                       for _ in range(n)])
     if tag == GetMempoolTxs.TAG:
         nonce = r.read_u64()
         n = r.read_u32()

@@ -79,15 +79,25 @@ class BlockchainState:
             utxoroot=new_state.utreexo.state_hash(),
         )
         new_state.tip = header
-        return Block(header, txs), new_state, catchup, verified
+        # embed the spent-input proofs so peers can re-apply from the wire
+        used = {
+            cid: utxo_proofs[cid]
+            for v in verified for cid in v.inputs
+        }
+        return Block(header, txs, used), new_state, catchup, verified
 
     def apply_block(
         self,
         block: Block,
-        utxo_proofs: dict[bytes, UtreexoProof],
-        bp_gens: BulletproofGens,
+        utxo_proofs: dict[bytes, UtreexoProof] | None = None,
+        bp_gens: BulletproofGens | None = None,
     ) -> tuple["BlockchainState", Catchup, list[VerifiedTx]]:
-        """Validate and apply a received block."""
+        """Validate and apply a received block.  utxo_proofs=None uses the
+        proofs embedded in the block (the sync path)."""
+        if utxo_proofs is None:
+            utxo_proofs = block.utxo_proofs
+        if bp_gens is None:
+            raise BlockchainError("bp_gens required")
         if block.header.prev != block_id(self.tip):
             raise BlockchainError("block does not extend the tip")
         if block.header.height != self.tip.height + 1:
