@@ -2,21 +2,32 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Primary metric (BASELINE configs 0/2): Bulletproofs rangeproof verification
-throughput per chip, derived from the device Pippenger MSM rate (a single
-64-bit rangeproof verifies with one 147-point MSM; batched verification
-shares the 128 static G/H columns and amortizes further).
+throughput per chip, MEASURED end-to-end: a batch of 64-bit proofs verified
+through `proofs.rangeproof.batch_verify` with the JAX engine running the
+combined Pippenger MSM on the device (Pallas bucket pipeline,
+kernels/pallas_msm.py) and the host doing native-vectorized scalar assembly.
 
 vs_baseline: the upstream dalek stack verifies ~1000 proofs/s on one x86
 core (BASELINE.md, unverified ballpark) — vs_baseline = ours / 1000.
 
-Reliability: TPU compile/load times through the axon tunnel vary from
-minutes to (occasionally) forever, so the device measurement runs in child
-processes with hard timeouts over a ladder of sizes; if every device
-attempt fails, a host-path measurement (prove/verify wall clock through the
-oracle engine) is emitted instead so the driver always gets a JSON line.
+Also reported inside the same JSON line:
+- msm_sweep: raw device MSM latency at 2^14/2^16/2^18 (BASELINE config 2)
+- prove_ms / r1cs_cloak_prove_ms: prover-side latency (VERDICT r1 #5)
+- host_us_per_proof: host scalar-assembly time per batched proof (#2)
+- efficiency: sharded-MSM scaling on the virtual CPU mesh (#7); real
+  multi-chip hardware is unavailable here, so this measures the sharding
+  machinery (collectives + combine), honestly labeled platform=virtual_cpu
+- compile: cold vs warm-process compile seconds for the same MSM shape,
+  demonstrating the persistent-cache hit across child processes (#3)
 
-Env knobs: BENCH_LOG_N (default 14), BENCH_WBITS (default 16),
-BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 900).
+Reliability: TPU compile/load through the axon tunnel varies minutes to
+(occasionally) forever, so every device measurement runs in a child process
+with a hard timeout; if every device attempt fails, a host-path measurement
+is emitted instead so the driver always gets a JSON line.
+
+Env knobs: BENCH_SWEEP="14,16,18", BENCH_NB="256" (batch sizes),
+BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 900),
+BENCH_SKIP_EFF=1 / BENCH_SKIP_SWEEP=1 to trim.
 """
 
 import json
@@ -25,84 +36,328 @@ import subprocess
 import sys
 import time
 
-N_LOG = int(os.environ.get("BENCH_LOG_N", "14"))
-WBITS = int(os.environ.get("BENCH_WBITS", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 ATTEMPT_TIMEOUT = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
-POINTS_PER_VERIFY = 147  # single 64-bit rangeproof mega-check MSM size
 BASELINE_VERIFIES_PER_SEC = 1000.0
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _device_child(log_n: int, wbits: int):
-    """Measure the device MSM; prints an internal JSON line on success."""
+def _configure_cache():
     import jax
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    import random
 
-    import jax.numpy as jnp
+def _emit(d):
+    print(json.dumps({"__bench_child__": True, **d}), flush=True)
+
+
+def _materialize(x):
+    """block_until_ready lies on the axon tunnel; full fetch is the fence."""
     import numpy as np
 
-    from zkvm_tpu.constants import L
+    return np.asarray(x)
+
+
+# --------------------------------------------------------------- children
+def _child_msm(log_n: int):
+    """Raw device MSM latency: Pallas window totals + native host combine."""
+    _configure_cache()
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from zkvm_tpu.constants import L, P
     from zkvm_tpu.kernels import msm as jmsm
-    from zkvm_tpu.kernels import point as jp
-    from zkvm_tpu.kernels.limbs import limbs_to_field_ints
+    from zkvm_tpu.kernels import pallas_msm as pm
     from zkvm_tpu.oracle.ristretto import RistrettoPoint
 
     n = 1 << log_n
+    wbits = int(os.environ.get("BENCH_WBITS", "0")) or pm.best_wbits(n)
     r = random.Random(42)
-    base_count = 256
     base = [
         RistrettoPoint.from_uniform_bytes(
             r.getrandbits(512).to_bytes(64, "little")
         ).ep
-        for _ in range(base_count)
+        for _ in range(256)
     ]
-    pb = jp.pack_points(base)
-    reps = n // base_count
-    pts = jp.PointBatch(
-        jnp.tile(pb.x, (reps, 1)), jnp.tile(pb.y, (reps, 1)),
-        jnp.tile(pb.z, (reps, 1)), jnp.tile(pb.t, (reps, 1)),
+    pb = pm.pack_points_lm(base)
+    reps = n // 256
+    pts = pm.PointBatch(
+        jnp.tile(pb.x, (1, reps)), jnp.tile(pb.y, (1, reps)),
+        jnp.tile(pb.z, (1, reps)), jnp.tile(pb.t, (1, reps)),
     )
     scalars = [r.randrange(L) for _ in range(n)]
     digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits))
 
     t0 = time.time()
-    out = jmsm.msm_device(pts, digits, wbits)
-    _ = np.asarray(out.x)
+    out = pm.window_totals_packed(pts, digits, wbits, False)
+    _materialize(out)
     compile_s = time.time() - t0
 
     # sanity on the same compiled shape: zero digits -> identity
-    z_out = jmsm.msm_device(pts, jnp.zeros_like(digits), wbits)
-    zx = limbs_to_field_ints(np.asarray(z_out.x)[None])[0]
-    zy = limbs_to_field_ints(np.asarray(z_out.y)[None])[0]
-    assert zx == 0 or zy == 0, "zero MSM is not the identity"
+    z = pm.window_totals_packed(pts, jnp.zeros_like(digits), wbits, False)
+    zc = pm.combine_window_totals(z, wbits)
+    assert zc[0] % P == 0 and zc[1] % P == zc[2] % P, "zero MSM != identity"
+
+    if os.environ.get("_BENCH_PARITY"):
+        # full-size parity vs the native Straus MSM (independent host path)
+        from zkvm_tpu.native import ed_msm
+
+        t0 = time.time()
+        want = ed_msm(scalars, [base[i % 256] for i in range(n)])
+        got = pm.combine_window_totals(
+            pm.window_totals_packed(pts, digits, wbits, False), wbits
+        )
+        assert want is not None
+        assert (got[0] * want[2] - want[0] * got[2]) % P == 0, "parity x"
+        assert (got[1] * want[2] - want[1] * got[2]) % P == 0, "parity y"
+        print(f"# parity n=2^{log_n} vs native Straus: OK "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr)
 
     times = []
     for _ in range(ITERS):
         t0 = time.time()
-        out = jmsm.msm_device(pts, digits, wbits)
-        _ = np.asarray(out.x)  # block_until_ready lies on the axon tunnel
+        totals = pm.window_totals_packed(pts, digits, wbits, False)
+        pm.combine_window_totals(totals, wbits)  # includes the fetch
         times.append(time.time() - t0)
-    best = min(times)
-    print(json.dumps({
-        "__bench_child__": True,
-        "n": n, "wbits": wbits, "best_s": best, "compile_s": compile_s,
+    _emit({
+        "mode": "msm", "n": n, "log_n": log_n, "wbits": wbits,
+        "best_s": min(times), "compile_s": compile_s,
         "platform": jax.devices()[0].platform,
-    }))
+    })
+
+
+def _child_batch(nb: int):
+    """End-to-end batched rangeproof verification on the device engine."""
+    _configure_cache()
+    import jax
+
+    from zkvm_tpu.kernels.engine import JaxEngine
+    from zkvm_tpu.proofs.engine import set_engine
+    from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+    from zkvm_tpu.proofs.rangeproof import RangeProof, batch_verify
+    from zkvm_tpu.proofs.transcript import ProofTranscript
+
+    pc, bp = PedersenGens(), BulletproofGens(64)
+    proofs, vcs = [], []
+    t0 = time.time()
+    for i in range(nb):
+        p, V = RangeProof.prove_single(
+            bp, pc, ProofTranscript(b"bench"), 1234 + i, 999 + i, 64
+        )
+        proofs.append(p)
+        vcs.append([V])
+    build_s = time.time() - t0
+
+    class TimedEngine(JaxEngine):
+        device_s = 0.0
+
+        def msm_is_identity(self, scalars, points):
+            t = time.time()
+            out = super().msm_is_identity(scalars, points)
+            TimedEngine.device_s += time.time() - t
+            return out
+
+    prev = set_engine(TimedEngine(min_msm_size=64, pipeline="pallas"))
+    try:
+        def run():
+            transcripts = [ProofTranscript(b"bench") for _ in range(nb)]
+            batch_verify(proofs, bp, pc, transcripts, vcs, 64)
+
+        t0 = time.time()
+        run()  # compile + warm
+        compile_s = time.time() - t0
+        times, dev = [], []
+        for _ in range(ITERS):
+            TimedEngine.device_s = 0.0
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+            dev.append(TimedEngine.device_s)
+        best = min(times)
+        i = times.index(best)
+
+        # soundness: a corrupted batch must fail
+        import copy
+
+        bad = copy.deepcopy(proofs)
+        bad[nb // 2].t_x = (bad[nb // 2].t_x + 1) % (2**252)
+        try:
+            batch_verify(bad, bp, pc,
+                         [ProofTranscript(b"bench") for _ in range(nb)],
+                         vcs, 64)
+            raise SystemExit("poisoned batch verified")
+        except Exception as e:
+            if isinstance(e, SystemExit):
+                raise
+    finally:
+        set_engine(prev)
+    _emit({
+        "mode": "batch", "nb": nb, "best_s": best,
+        "device_s": dev[i], "host_s": best - dev[i],
+        "compile_s": compile_s, "build_s": build_s,
+        "platform": jax.devices()[0].platform,
+    })
+
+
+def _child_host():
+    """Prover-side latency + host scalar-assembly cost (CPU only)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+    from zkvm_tpu.proofs.rangeproof import RangeProof
+    from zkvm_tpu.proofs.transcript import ProofTranscript
+    from zkvm_tpu.utils.metrics import Timer
+    from zkvm_tpu.utils.metrics import metrics as registry
+
+    pc, bp = PedersenGens(), BulletproofGens(1024)
+    RangeProof.prove_single(bp, pc, ProofTranscript(b"b"), 5, 7, 64)  # warm
+    t0 = time.perf_counter()
+    n_iters = 10
+    for i in range(n_iters):
+        with Timer("rangeproof_prove"):
+            proof, V = RangeProof.prove_single(
+                bp, pc, ProofTranscript(b"b"), 5 + i, 7 + i, 64
+            )
+    prove_ms = (time.perf_counter() - t0) / n_iters * 1e3
+
+    # host scalar assembly per batched proof (the verify-path host cost)
+    for _ in range(3):
+        with Timer("verification_job"):
+            proof.verification_job(bp, pc, ProofTranscript(b"b"), [V], 64)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        proof.verification_job(bp, pc, ProofTranscript(b"b"), [V], 64)
+    job_us = (time.perf_counter() - t0) / 20 * 1e6
+
+    print("# metrics phases:", json.dumps(registry.summary()),
+          file=sys.stderr)
+    _emit({
+        "mode": "host", "prove_ms": prove_ms, "job_us": job_us,
+    })
+
+
+def _child_cloak():
+    """R1CS 4x4 cloak prove+verify latency, 64-bit ranges (VERDICT r1 #5)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from zkvm_tpu.gadgets import Value, allocate_value, cloak
+    from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+    from zkvm_tpu.proofs.r1cs import Prover, Verifier
+    from zkvm_tpu.proofs.transcript import ProofTranscript
+
+    pc, bp = PedersenGens(), BulletproofGens(4096)
+    ins = [Value(10, 1), Value(20, 1), Value(30, 2), Value(40, 2)]
+    outs = [Value(15, 1), Value(15, 1), Value(35, 2), Value(35, 2)]
+
+    def prove():
+        prover = Prover(pc, ProofTranscript(b"cloak-bench"))
+        in_a = [allocate_value(prover, v) for v in ins]
+        out_a = [allocate_value(prover, v) for v in outs]
+        cloak(prover, in_a, out_a, range_bits=64)
+        return prover.prove(bp)
+
+    proof = prove()  # warm
+    t0 = time.perf_counter()
+    proof = prove()
+    prove_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    verifier = Verifier(ProofTranscript(b"cloak-bench"))
+    in_a = [allocate_value(verifier, None) for _ in ins]
+    out_a = [allocate_value(verifier, None) for _ in outs]
+    cloak(verifier, in_a, out_a, range_bits=64)
+    verifier.verify(proof, pc, bp)
+    verify_ms = (time.perf_counter() - t0) * 1e3
+    _emit({"mode": "cloak", "prove_ms": prove_ms, "verify_ms": verify_ms})
+
+
+def _child_eff():
+    """Sharded-MSM scaling on the virtual CPU mesh (BENCH_EFF_TPS device
+    counts; default 1,8 — each mesh shape is a separate slow XLA-CPU
+    compile, so keep the set small and let the persistent cache carry
+    repeat runs)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    _configure_cache()
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.kernels import msm as jmsm
+    from zkvm_tpu.kernels import point as jp
+    from zkvm_tpu.oracle.ristretto import RistrettoPoint
+    from zkvm_tpu.parallel.sharded_msm import sharded_msm
+
+    n, wbits = 1 << 12, 8
+    r = random.Random(11)
+    base = [
+        RistrettoPoint.from_uniform_bytes(
+            r.getrandbits(512).to_bytes(64, "little")
+        ).ep
+        for _ in range(64)
+    ]
+    pb = jp.pack_points(base)
+    reps = n // 64
+    pts = jp.PointBatch(
+        jnp.tile(pb.x, (reps, 1)), jnp.tile(pb.y, (reps, 1)),
+        jnp.tile(pb.z, (reps, 1)), jnp.tile(pb.t, (reps, 1)),
+    )
+    # < 2^30 so the top signed digit cannot carry out of the 32-bit window
+    ks = [r.randrange(1 << 30) for _ in range(n)]
+    digits = jnp.asarray(jmsm.signed_digits_radix_2w(ks, wbits, 32))
+
+    tps = [int(s) for s in
+           os.environ.get("BENCH_EFF_TPS", "1,8").split(",") if s]
+    results = {}
+    for tp in tps:
+        devs = np.array(jax.devices()[:tp]).reshape(1, tp)
+        mesh = Mesh(devs, ("dp", "tp"))
+        out = sharded_msm(mesh, pts, digits, wbits)  # compile + warm
+        np.asarray(out.x)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = sharded_msm(mesh, pts, digits, wbits)
+            np.asarray(out.x)
+            best = min(best, time.time() - t0)
+        results[tp] = best
+        print(f"# eff tp={tp}: {best*1e3:.1f} ms", file=sys.stderr)
+    # Virtual CPU devices SHARE the host's cores: total work is constant
+    # across tp, so wall-clock cannot show parallel speedup.  What the
+    # delta t(tp) - t(1) does measure is the collective/combine overhead
+    # the sharding adds; projecting it onto an ideal tp-way compute split
+    # estimates the multi-chip scaling efficiency (real chips each run
+    # 1/tp of the work in true parallel with the same collectives).
+    t1 = results[1]
+    eff = {}
+    for tp in sorted(results):
+        comm = max(0.0, results[tp] - t1)
+        eff[str(tp)] = round((t1 / tp) / (t1 / tp + comm), 3)
+    _emit({
+        "mode": "eff", "platform": "virtual_cpu", "n": n,
+        "devices": sorted(results),
+        "ms": [round(results[tp] * 1e3, 1) for tp in sorted(results)],
+        "projected_efficiency": eff,
+        "note": "virtual devices share host cores; efficiency projects "
+                "measured collective overhead onto an ideal compute split",
+    })
 
 
 def _host_fallback():
-    """Prove/verify wall clock through the oracle engine (always works)."""
+    """Prove/verify wall clock through the host engine (always works)."""
     from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
     from zkvm_tpu.proofs.rangeproof import RangeProof
     from zkvm_tpu.proofs.transcript import ProofTranscript
@@ -112,7 +367,7 @@ def _host_fallback():
         bp, pc, ProofTranscript(b"bench"), 123456, 777, 64
     )
     t0 = time.time()
-    iters = 5
+    iters = 20
     for _ in range(iters):
         proof.verify_single(bp, pc, ProofTranscript(b"bench"), V, 64)
     per = (time.time() - t0) / iters
@@ -122,57 +377,152 @@ def _host_fallback():
         "value": round(vps, 2),
         "unit": "verifies/s/chip",
         "vs_baseline": round(vps / BASELINE_VERIFIES_PER_SEC, 3),
+        "note": "host(oracle-engine) fallback measurement",
     }))
     print("# host(oracle-engine) fallback measurement", file=sys.stderr)
 
 
-def main():
-    if os.environ.get("_BENCH_CHILD"):
-        _device_child(int(os.environ["_BENCH_LOG_N"]),
-                      int(os.environ["_BENCH_WBITS"]))
-        return
-
-    ladder = [(N_LOG, WBITS)]
-    if N_LOG > 12:
-        ladder.append((12, WBITS))
-    for log_n, wbits in ladder:
-        env = dict(os.environ)
-        env["_BENCH_CHILD"] = "1"
-        env["_BENCH_LOG_N"] = str(log_n)
-        env["_BENCH_WBITS"] = str(wbits)
+def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None):
+    env = dict(os.environ)
+    env["_BENCH_CHILD"] = mode
+    env["_BENCH_ARG"] = arg
+    env.update(extra_env or {})
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            timeout=timeout or ATTEMPT_TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# child {mode}({arg}) timed out", file=sys.stderr)
+        return None
+    for line in res.stderr.splitlines():
+        if line.startswith("#"):
+            print(line, file=sys.stderr)
+    for line in res.stdout.splitlines():
         try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True,
-                timeout=ATTEMPT_TIMEOUT,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"# device attempt 2^{log_n} timed out", file=sys.stderr)
+            d = json.loads(line)
+        except json.JSONDecodeError:
             continue
-        for line in res.stdout.splitlines():
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if d.get("__bench_child__"):
-                n, best = d["n"], d["best_s"]
-                vps = n / best / POINTS_PER_VERIFY
-                print(json.dumps({
-                    "metric": "rangeproof_verifies_per_sec_per_chip",
-                    "value": round(vps, 2),
-                    "unit": "verifies/s/chip",
-                    "vs_baseline": round(vps / BASELINE_VERIFIES_PER_SEC, 3),
-                }))
-                print(
-                    f"# msm n=2^{log_n} wbits={d['wbits']}: best "
-                    f"{best*1000:.1f} ms, compile {d['compile_s']:.1f}s, "
-                    f"platform={d['platform']}",
-                    file=sys.stderr,
-                )
-                return
-        print(f"# device attempt 2^{log_n} failed: {res.stderr[-300:]}",
-              file=sys.stderr)
-    _host_fallback()
+        if d.get("__bench_child__"):
+            return d
+    print(f"# child {mode}({arg}) failed: {res.stderr[-400:]}",
+          file=sys.stderr)
+    return None
+
+
+def main():
+    mode = os.environ.get("_BENCH_CHILD")
+    if mode == "msm":
+        return _child_msm(int(os.environ["_BENCH_ARG"]))
+    if mode == "batch":
+        return _child_batch(int(os.environ["_BENCH_ARG"]))
+    if mode == "host":
+        return _child_host()
+    if mode == "cloak":
+        return _child_cloak()
+    if mode == "eff":
+        return _child_eff()
+
+    out = {}
+
+    # 1) device MSM sweep (+ cold/warm compile demo on the first size)
+    sweep = []
+    if not os.environ.get("BENCH_SKIP_SWEEP"):
+        sizes = [int(s) for s in
+                 os.environ.get("BENCH_SWEEP", "14,16,18").split(",") if s]
+        for i, log_n in enumerate(sizes):
+            env = {"_BENCH_PARITY": "1"} if i == 0 else None
+            d = _run_child("msm", str(log_n), extra_env=env)
+            if d:
+                d["mpts_per_s"] = round(d["n"] / d["best_s"] / 1e6, 3)
+                sweep.append({k: (round(v, 4) if isinstance(v, float) else v)
+                              for k, v in d.items()
+                              if k not in ("__bench_child__", "mode")})
+                print(f"# msm 2^{log_n} w={d['wbits']}: "
+                      f"{d['best_s']*1e3:.1f} ms "
+                      f"({d['mpts_per_s']} Mpts/s, compile "
+                      f"{d['compile_s']:.1f}s)", file=sys.stderr)
+        if sweep:
+            # warm-process rerun of the first size: persistent-cache proof
+            d = _run_child("msm", str(sizes[0]))
+            if d:
+                out["compile"] = {
+                    "cold_s": sweep[0]["compile_s"],
+                    "warm_s": round(d["compile_s"], 1),
+                }
+                print(f"# compile 2^{sizes[0]}: cold "
+                      f"{sweep[0]['compile_s']:.1f}s -> warm process "
+                      f"{d['compile_s']:.1f}s (persistent cache)",
+                      file=sys.stderr)
+        out["msm_sweep"] = sweep
+
+    # 2) end-to-end batched verification (the headline)
+    value = None
+    batches = [int(s) for s in
+               os.environ.get("BENCH_NB", "256").split(",") if s]
+    best_batch = None
+    for nb in batches:
+        d = _run_child("batch", str(nb))
+        if d:
+            vps = d["nb"] / d["best_s"]
+            print(f"# batch_verify nb={nb}: {d['best_s']*1e3:.1f} ms "
+                  f"({vps:.0f} verifies/s; device {d['device_s']*1e3:.0f} ms"
+                  f", host {d['host_s']*1e3:.0f} ms, platform "
+                  f"{d['platform']})", file=sys.stderr)
+            if best_batch is None or vps > best_batch[0]:
+                best_batch = (vps, d)
+    if best_batch:
+        value = best_batch[0]
+        d = best_batch[1]
+        out["batch"] = {
+            "nb": d["nb"], "best_s": round(d["best_s"], 4),
+            "device_ms": round(d["device_s"] * 1e3, 1),
+            "host_ms": round(d["host_s"] * 1e3, 1),
+            "host_us_per_proof": round(d["host_s"] / d["nb"] * 1e6, 1),
+            "platform": d["platform"],
+        }
+    elif sweep:
+        # fallback: derive from the best raw MSM rate (147-pt single proof)
+        best = max(sweep, key=lambda s: s["mpts_per_s"])
+        value = best["n"] / best["best_s"] / 147
+        out["derived_from"] = f"msm 2^{best['log_n']}"
+
+    # 3) prover-side + host-assembly numbers
+    d = _run_child("host", timeout=300)
+    if d:
+        out["prove_ms"] = round(d["prove_ms"], 1)
+        out["host_us_per_proof_assembly"] = round(d["job_us"], 1)
+        print(f"# prove {out['prove_ms']} ms; verification_job "
+              f"{out['host_us_per_proof_assembly']} us", file=sys.stderr)
+    d = _run_child("cloak", timeout=600)
+    if d:
+        out["r1cs_cloak_prove_ms"] = round(d["prove_ms"], 1)
+        out["r1cs_cloak_verify_ms"] = round(d["verify_ms"], 1)
+        print(f"# r1cs 4x4 cloak: prove {out['r1cs_cloak_prove_ms']} ms, "
+              f"verify {out['r1cs_cloak_verify_ms']} ms", file=sys.stderr)
+
+    # 4) virtual-mesh scaling efficiency
+    if not os.environ.get("BENCH_SKIP_EFF"):
+        d = _run_child("eff", timeout=1800)
+        if d:
+            out["efficiency"] = {
+                "platform": d["platform"], "devices": d["devices"],
+                "ms": d["ms"],
+                "projected_efficiency": d["projected_efficiency"],
+                "note": d["note"],
+            }
+
+    if value is None:
+        _host_fallback()
+        return
+    print(json.dumps({
+        "metric": "rangeproof_verifies_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "verifies/s/chip",
+        "vs_baseline": round(value / BASELINE_VERIFIES_PER_SEC, 3),
+        **out,
+    }))
 
 
 if __name__ == "__main__":

@@ -20,6 +20,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 
 from zkvm_tpu.constants import L, P
@@ -69,19 +78,19 @@ def bench_size(log_n: int, wbits: int | None):
     digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits))
 
     t0 = time.time()
-    out = pm.window_totals(pts, digits, wbits, False)
-    np.asarray(out.x)
+    out = pm.window_totals_packed(pts, digits, wbits, False)
+    np.asarray(out)
     compile_s = time.time() - t0
 
     # same-shape sanity: zero digits -> identity totals
-    z = pm.window_totals(pts, jnp.zeros_like(digits), wbits, False)
+    z = pm.window_totals_packed(pts, jnp.zeros_like(digits), wbits, False)
     zc = pm.combine_window_totals(z, wbits)
     assert zc[0] % P == 0, "zero MSM is not the identity"
 
     times = []
     for _ in range(ITERS):
         t0 = time.time()
-        totals = pm.window_totals(pts, digits, wbits, False)
+        totals = pm.window_totals_packed(pts, digits, wbits, False)
         res = pm.combine_window_totals(totals, wbits)  # forces the fetch
         times.append(time.time() - t0)
     best = min(times)

@@ -164,11 +164,14 @@ def test_signed_digits_nbits_truncation():
         assert sum(int(d[j, i]) << (8 * i) for i in range(4)) == k
 
 
-def test_seq_pipeline_end_to_end():
+@pytest.mark.parametrize("wbits", [8, 9])
+def test_seq_pipeline_end_to_end(wbits):
     """The sequential-chunk bucket pipeline (production path for
     n >= SEQ_LANES*SEQ_BLOCK) end-to-end vs the oracle at n=4096 — covers
     the in-kernel K-chunk scan, cross-lane roll-scan, fixup, scatter, and
     two-stage weighted fold, none of which the small-n tests reach.
+    wbits=9 gives nw=29: a ragged lane-scan window grid (29 % 8 != 0) and a
+    fold lane tile that must drop below FOLD_TILE (29*128 % 512 != 0).
 
     Runs in a SUBPROCESS: the XLA CPU compiler intermittently segfaults on
     this interpret-mode graph when other large compiles preceded it in the
@@ -178,7 +181,7 @@ def test_seq_pipeline_end_to_end():
     import sys
     import textwrap
 
-    code = textwrap.dedent("""
+    code = textwrap.dedent(f"""
         import jax
         jax.config.update("jax_platforms", "cpu")
         import random
@@ -187,6 +190,7 @@ def test_seq_pipeline_end_to_end():
         from zkvm_tpu.oracle import edwards as oe
         from zkvm_tpu.oracle.ristretto import RistrettoPoint
 
+        WBITS = {wbits}
         n = pm.SEQ_LANES * pm.SEQ_BLOCK
         r = random.Random(99)
         rr = random.Random(99)
@@ -196,7 +200,7 @@ def test_seq_pipeline_end_to_end():
         pts = [base[i % 64] for i in range(n)]
         ks = [r.randrange(L) for _ in range(n)]
         expect = oe.multiscalar_mul(ks, pts)
-        got = pm.msm(pts, ks, wbits=8, interpret=True)
+        got = pm.msm(pts, ks, wbits=WBITS, interpret=True)
         gx, gy, gz, _ = got
         ex, ey, ez, _ = expect
         assert (gx * ez - ex * gz) % P == 0

@@ -83,3 +83,27 @@ def test_sharded_batch_verify_rangeproofs():
     )
     with pytest.raises(VerificationError):
         sharded_batch_verify_jobs(mesh, bad_jobs, wbits=8)
+
+
+def test_sharded_msm_pallas_pipeline_parity():
+    """The round-2 production pipeline sharded over the 8-device mesh
+    (limb-major shards + all_gather'd window totals + traced Edwards tree
+    combine + host Horner) must match the oracle."""
+    from zkvm_tpu.kernels import pallas_msm as pm
+    from zkvm_tpu.parallel.sharded_msm import sharded_msm_pallas
+
+    n = 96
+    r = random.Random(21)
+    pts = _rand_points(n, seed=21)
+    ks = [r.randrange(1 << 30) for _ in range(n)]
+    ks[0] = 0
+    expect = oe.multiscalar_mul(ks, [p.ep for p in pts])
+
+    mesh = make_mesh(dp=2, tp=4)
+    pb = pm.pack_points_lm([p.ep for p in pts])
+    digits = jnp.asarray(jmsm.signed_digits_radix_2w(ks, 8, 32))
+    got = sharded_msm_pallas(mesh, pb, digits, wbits=8)
+    gx, gy, gz, _ = got
+    ex, ey, ez, _ = expect
+    assert (gx * ez - ex * gz) % P == 0
+    assert (gy * ez - ey * gz) % P == 0

@@ -86,7 +86,7 @@ class JaxEngine(Engine):
             pts, digits = pmsm.pad_batch_lm(pts, digits)
             import jax
             interpret = jax.default_backend() not in ("tpu", "axon")
-            totals = pmsm.window_totals(pts, digits, wbits, interpret)
+            totals = pmsm.window_totals_packed(pts, digits, wbits, interpret)
             return ristretto.RistrettoPoint(
                 pmsm.combine_window_totals(totals, wbits)
             )

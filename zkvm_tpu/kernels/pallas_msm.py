@@ -231,11 +231,17 @@ def cneg_lm(p: PointBatch, mask: jnp.ndarray) -> PointBatch:
 
 
 def best_wbits(n: int) -> int:
-    """Window width minimizing 2n adds/point-window + 3*2^(w-1) fold adds."""
+    """Window width minimizing the seq-pipeline cost model
+    nw * (n + 3.5 * 2^(w-1)): one add per sorted position in the K-chunk
+    scan plus a bucket term covering the fold's two adds per bucket AND the
+    HBM-resident bucket-array materialization.  The 3.5 weight is fitted to
+    on-chip measurements (v5e, 2026-08-17): 2^18 w13=574ms ~ w14=551ms
+    (crossover pins the ratio), w16=1501ms; 2^16 w13=121ms; 2^14 w12=54ms.
+    The old 2n-adds model chose w=16 at 2^18 - 2.7x slower than w=14."""
     best, best_cost = 8, None
     for w in range(8, 21):
         nw = num_windows(w)
-        cost = 2 * n * nw + 3 * (1 << (w - 1)) * nw
+        cost = nw * (2 * n + 7 * (1 << (w - 1)))
         if best_cost is None or cost < best_cost:
             best, best_cost = w, cost
     return best
@@ -392,13 +398,15 @@ def _seq_segmented_scan(pts: PointBatch, flags: jnp.ndarray,
 
 
 def _lane_scan_kernel(tx, ty, tz, tt, f_ref, d2_ref, ox, oy, oz, ot):
-    """Segmented Hillis-Steele scan ACROSS lanes of the per-lane tails
-    (all windows in one block — TPU lowering requires the second-to-last
-    block dim to equal the array dim, and nw*M is tiny), emitted as the
-    EXCLUSIVE incoming prefix for each lane (the running segment value
-    flowing into the lane's head run)."""
-    val = (tx[...], ty[...], tz[...], tt[...])   # (NLIMBS, nw, M)
-    f = f_ref[...]                               # (1, nw, M)
+    """Segmented Hillis-Steele scan ACROSS lanes of the per-lane tails,
+    WCHUNK windows per block (a full-nw block blows the 16 MB VMEM scope
+    at nw>=29, and a 1-window block violates the divisible-by-8 rule on
+    the second-to-last dim; rows are independent so edge-block padding
+    rows compute garbage that is never written back).  Emits the EXCLUSIVE
+    incoming prefix for each lane (the running segment value flowing into
+    the lane's head run)."""
+    val = (tx[...], ty[...], tz[...], tt[...])   # (NLIMBS, WCHUNK, M)
+    f = f_ref[...]                               # (1, WCHUNK, M)
     d2 = d2_ref[...][:, None, :]
     M = val[0].shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
@@ -427,7 +435,13 @@ def _lane_scan(tails: PointBatch, tail_flags: jnp.ndarray,
     """tails: (NLIMBS, nw, M); tail_flags: (nw, M) = any segment start in
     the lane.  Returns incoming prefixes (NLIMBS, nw, M)."""
     _, nw, M = tails.x.shape
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    wchunk = 8
+    spec = pl.BlockSpec((NLIMBS, wchunk, M), lambda w: (0, w, 0),
+                        memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, wchunk, M), lambda w: (0, w, 0),
+                         memory_space=pltpu.VMEM)
+    d2spec = pl.BlockSpec((NLIMBS, M), lambda w: (0, 0),
+                          memory_space=pltpu.VMEM)
     d2 = np.ascontiguousarray(
         np.broadcast_to(int_to_limbs(EDWARDS_D2)[:, None], (NLIMBS, M))
     ).astype(np.int32)
@@ -435,7 +449,8 @@ def _lane_scan(tails: PointBatch, tail_flags: jnp.ndarray,
     out = pl.pallas_call(
         _lane_scan_kernel,
         out_shape=(shp,) * 4,
-        in_specs=[spec] * 6,
+        grid=(-(-nw // wchunk),),
+        in_specs=[spec] * 4 + [fspec, d2spec],
         out_specs=(spec,) * 4,
         interpret=interpret,
     )(tails.x, tails.y, tails.z, tails.t, tail_flags[None], jnp.asarray(d2))
@@ -690,6 +705,17 @@ def window_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
     return _bucket_totals(points, digits, wbits, interpret)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def window_totals_packed(points: PointBatch, digits: jnp.ndarray,
+                         wbits: int, interpret: bool = False) -> jnp.ndarray:
+    """window_totals with all four coordinates stacked into ONE
+    (4, NLIMBS, nw) output: the axon tunnel charges a ~24 ms dispatch/fetch
+    floor PER ARRAY, so fetching x/y/z/t separately costs ~70 ms more per
+    MSM than the compute itself at 2^14 (measured; see bench.py)."""
+    t = window_totals(points, digits, wbits, interpret)
+    return jnp.stack([t.x, t.y, t.z, t.t])
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def msm_pallas(points: PointBatch, digits: jnp.ndarray, wbits: int,
                interpret: bool = False, unroll_combine: bool | None = None
@@ -745,11 +771,19 @@ def combine_window_totals(totals, wbits: int):
     from ..oracle import edwards as oe
     from .limbs import limbs_to_field_ints
 
-    nw = totals.x.shape[1]
-    xs = limbs_to_field_ints(np.asarray(totals.x).T)
-    ys = limbs_to_field_ints(np.asarray(totals.y).T)
-    zs = limbs_to_field_ints(np.asarray(totals.z).T)
-    ts = limbs_to_field_ints(np.asarray(totals.t).T)
+    if isinstance(totals, PointBatch):
+        # one fetch for the whole batch (see window_totals_packed)
+        packed = np.stack([
+            np.asarray(totals.x), np.asarray(totals.y),
+            np.asarray(totals.z), np.asarray(totals.t),
+        ])
+    else:
+        packed = np.asarray(totals)  # (4, NLIMBS, nw) from *_packed
+    nw = packed.shape[2]
+    xs = limbs_to_field_ints(packed[0].T)
+    ys = limbs_to_field_ints(packed[1].T)
+    zs = limbs_to_field_ints(packed[2].T)
+    ts = limbs_to_field_ints(packed[3].T)
     pts = [(xs[w], ys[w], zs[w], ts[w]) for w in range(nw)]
     from ..native import ed_combine_windows
     native = ed_combine_windows(pts, wbits)
@@ -774,12 +808,14 @@ def pack_points_lm(points) -> PointBatch:
                         for a in (xs, ys, zs, ts)))
 
 
-def pad_batch_lm(pts: PointBatch, digits: jnp.ndarray
+def pad_batch_lm(pts: PointBatch, digits: jnp.ndarray, min_size: int = 16
                  ) -> tuple[PointBatch, jnp.ndarray]:
-    """Pad n to a power of two (>= 16) with identities/zero digits so jit
-    compiles are shared across nearby sizes (cf. msm.pad_batch)."""
+    """Pad n to a power of two (>= min_size) with identities/zero digits so
+    jit compiles are shared across nearby sizes (cf. msm.pad_batch)."""
     n = digits.shape[0]
-    size = 16
+    size = 1
+    while size < max(min_size, 16):
+        size *= 2
     while size < n:
         size *= 2
     if size == n:
@@ -819,5 +855,5 @@ def msm(points_oracle, scalars: list[int], wbits: int | None = None,
     pts = pack_points_lm(points_oracle)
     digits = jnp.asarray(signed_digits_radix_2w(scalars, wbits, nbits))
     pts, digits = pad_batch_lm(pts, digits)
-    totals = window_totals(pts, digits, wbits, interpret)
+    totals = window_totals_packed(pts, digits, wbits, interpret)
     return combine_window_totals(totals, wbits)

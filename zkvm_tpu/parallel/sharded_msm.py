@@ -131,3 +131,78 @@ def sharded_grouped_msm_fn(mesh: Mesh, wbits: int = jmsm.DEFAULT_WBITS):
 def sharded_grouped_msm(mesh: Mesh, points: PointBatch, digits,
                         wbits=jmsm.DEFAULT_WBITS) -> PointBatch:
     return sharded_grouped_msm_fn(mesh, wbits)(points, jnp.asarray(digits))
+
+
+# ---------------------------------------------------- Pallas-pipeline shard
+def sharded_window_totals_fn(mesh: Mesh, wbits: int):
+    """Sharded MSM on the round-2 production pipeline: points in LIMB-MAJOR
+    (NLIMBS, n) layout shard their batch axis over the flat mesh; each
+    device runs the local per-window bucket pipeline (Pallas kernels on
+    TPU, the jnp window-totals elsewhere — same dispatcher contract as
+    kernels/msm.msm_device); per-device totals are all_gathered (a few KB)
+    and tree-combined with the same Edwards add formula, XLA-traced.
+    Result: packed (4, NLIMBS, nw) per-window totals, replicated — callers
+    finish with kernels.pallas_msm.combine_window_totals on the host.
+    """
+    import numpy as np
+
+    from ..constants import EDWARDS_D2, NLIMBS
+    from ..kernels import pallas_msm as pm
+    from ..kernels.limbs import int_to_limbs
+
+    axes = ("dp", "tp")
+    spec_pts = P(None, axes)    # (NLIMBS, n): shard the batch axis
+    spec_dig = P(axes, None)    # (n, nw)
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    d2col = jnp.asarray(int_to_limbs(EDWARDS_D2)[:, None].astype(np.int32))
+
+    def _local_totals(points: PointBatch, digits):
+        if use_pallas:
+            t = pm.window_totals(points, digits, wbits, False)
+            return jnp.stack([t.x, t.y, t.z, t.t])  # (4, NLIMBS, nw)
+        # jnp fallback: batch-major kernel, then relayout
+        bm = jp.PointBatch(points.x.T, points.y.T, points.z.T, points.t.T)
+        t = jmsm._all_window_totals(bm, digits, wbits)  # (nw, 20) coords
+        return jnp.stack([t.x.T, t.y.T, t.z.T, t.t.T])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(PointBatch(spec_pts, spec_pts, spec_pts, spec_pts),
+                  spec_dig),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _sharded(points, digits):
+        local = _local_totals(points, digits)          # (4, NLIMBS, nw)
+        g = jax.lax.all_gather(local, axes)            # (ndev, 4, NLIMBS, nw)
+        g = jnp.moveaxis(g, 2, 1)                      # (ndev, NLIMBS, 4, nw)
+        assert g.shape[0] & (g.shape[0] - 1) == 0, "mesh size: power of two"
+        d2 = d2col[:, None, :]                          # (NLIMBS, 1, 1)
+        while g.shape[0] > 1:
+            h = g.shape[0] // 2
+            a, b = g[:h], g[h:]
+            def coords(v):
+                # (h, NLIMBS, 4, nw) -> tuple of (NLIMBS, h, nw)
+                return tuple(jnp.moveaxis(v[:, :, i, :], 0, 1)
+                             for i in range(4))
+            s = pm._add_formula(coords(a), coords(b), d2)
+            g = jnp.moveaxis(jnp.stack(s, axis=2), 1, 0)  # back to layout
+        out = g[0]                                      # (NLIMBS, 4, nw)
+        return jnp.moveaxis(out, 0, 1)                  # (4, NLIMBS, nw)
+
+    return jax.jit(_sharded)
+
+
+def sharded_msm_pallas(mesh: Mesh, points_lm, digits, wbits: int):
+    """Convenience wrapper: pads the limb-major batch to the pipeline's
+    tile requirements times the device count, runs the sharded window
+    totals, and finishes with the host Horner combine.  Returns an oracle
+    extended point."""
+    from ..kernels import pallas_msm as pm
+
+    ndev = mesh.devices.size
+    # power-of-two padding is divisible by the (power-of-two) device count
+    pts, dg = pm.pad_batch_lm(points_lm, jnp.asarray(digits),
+                              min_size=ndev * 16)
+    totals = sharded_window_totals_fn(mesh, wbits)(pts, dg)
+    return pm.combine_window_totals(totals, wbits)
