@@ -25,7 +25,7 @@ Reliability: TPU compile/load through the axon tunnel varies minutes to
 with a hard timeout; if every device attempt fails, a host-path measurement
 is emitted instead so the driver always gets a JSON line.
 
-Env knobs: BENCH_SWEEP="14,16,18", BENCH_NB="256" (batch sizes),
+Env knobs: BENCH_SWEEP="14,16,18", BENCH_NB="256,1024" (batch sizes),
 BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 900),
 BENCH_SKIP_EFF=1 / BENCH_SKIP_SWEEP=1 to trim.
 """
@@ -155,6 +155,8 @@ def _child_batch(nb: int):
         vcs.append([V])
     build_s = time.time() - t0
 
+    from zkvm_tpu.proofs.rangeproof import batch_verification_job
+
     class TimedEngine(JaxEngine):
         device_s = 0.0
 
@@ -164,11 +166,12 @@ def _child_batch(nb: int):
             TimedEngine.device_s += time.time() - t
             return out
 
-    prev = set_engine(TimedEngine(min_msm_size=64, pipeline="pallas"))
+    eng = TimedEngine(min_msm_size=64, pipeline="pallas")
+    prev = set_engine(eng)
     try:
-        def run():
+        def run(entropy=b"\x01" * 32):
             transcripts = [ProofTranscript(b"bench") for _ in range(nb)]
-            batch_verify(proofs, bp, pc, transcripts, vcs, 64)
+            batch_verify(proofs, bp, pc, transcripts, vcs, 64, entropy)
 
         t0 = time.time()
         run()  # compile + warm
@@ -182,6 +185,27 @@ def _child_batch(nb: int):
             dev.append(TimedEngine.device_s)
         best = min(times)
         i = times.index(best)
+
+        # pipelined throughput: host assembly of batch k+1 issued before
+        # fetching batch k.  NOTE measured tunnel behavior: execution is
+        # deferred to the fetch RPC, and a worker-thread fetch contends
+        # catastrophically (16 s/batch), so dispatch-level overlap is all
+        # this can claim; it matches single-shot latency on this tunnel.
+        rounds = max(4, ITERS)
+        t0 = time.time()
+        pending = None
+        for k in range(rounds):
+            transcripts = [ProofTranscript(b"bench") for _ in range(nb)]
+            scalars, points = batch_verification_job(
+                proofs, bp, pc, transcripts, vcs, 64,
+                entropy=bytes([k + 1]) * 32,
+            )
+            handle = eng.msm_start(scalars, points)
+            if pending is not None:
+                assert eng.msm_finish_is_identity(pending)
+            pending = handle
+        assert eng.msm_finish_is_identity(pending)
+        piped_s = (time.time() - t0) / rounds
 
         # soundness: a corrupted batch must fail
         import copy
@@ -199,7 +223,7 @@ def _child_batch(nb: int):
     finally:
         set_engine(prev)
     _emit({
-        "mode": "batch", "nb": nb, "best_s": best,
+        "mode": "batch", "nb": nb, "best_s": best, "piped_s": piped_s,
         "device_s": dev[i], "host_s": best - dev[i],
         "compile_s": compile_s, "build_s": build_s,
         "platform": jax.devices()[0].platform,
@@ -460,13 +484,14 @@ def main():
     # 2) end-to-end batched verification (the headline)
     value = None
     batches = [int(s) for s in
-               os.environ.get("BENCH_NB", "256").split(",") if s]
+               os.environ.get("BENCH_NB", "256,1024").split(",") if s]
     best_batch = None
     for nb in batches:
         d = _run_child("batch", str(nb))
         if d:
-            vps = d["nb"] / d["best_s"]
-            print(f"# batch_verify nb={nb}: {d['best_s']*1e3:.1f} ms "
+            vps = d["nb"] / min(d["best_s"], d["piped_s"])
+            print(f"# batch_verify nb={nb}: single {d['best_s']*1e3:.1f} ms"
+                  f", pipelined {d['piped_s']*1e3:.1f} ms/batch "
                   f"({vps:.0f} verifies/s; device {d['device_s']*1e3:.0f} ms"
                   f", host {d['host_s']*1e3:.0f} ms, platform "
                   f"{d['platform']})", file=sys.stderr)
@@ -477,6 +502,7 @@ def main():
         d = best_batch[1]
         out["batch"] = {
             "nb": d["nb"], "best_s": round(d["best_s"], 4),
+            "pipelined_s_per_batch": round(d["piped_s"], 4),
             "device_ms": round(d["device_s"] * 1e3, 1),
             "host_ms": round(d["host_s"] * 1e3, 1),
             "host_us_per_proof": round(d["host_s"] / d["nb"] * 1e6, 1),

@@ -132,3 +132,28 @@ def test_mul_small(rng):
     assert out == [x * 121666 % P for x in xs]
     out = _unpack(_mul_small(_pack(xs), -121665))
     assert out == [x * -121665 % P for x in xs]
+
+
+def test_debug_limb_bound_checks():
+    """Config.debug_checks turns on runtime limb-bound assertions
+    (SURVEY.md §5.2 analogue of upstream debug_assert! invariants):
+    in-range muls pass, a hand-built overflow trips the callback."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from zkvm_tpu.kernels import field as kf
+    from zkvm_tpu.utils.config import get_config
+
+    cfg = get_config()
+    assert not cfg.debug_checks  # default off: checker is free
+    cfg.debug_checks = True
+    try:
+        a = kf.constant(12345)[None]
+        out = kf.mul(jnp.asarray(a), jnp.asarray(a))  # in-range: passes
+        np.asarray(out)
+        bad = jnp.full((1, 20), 1 << 20, jnp.int32)
+        with pytest.raises(Exception):
+            np.asarray(kf.debug_assert_limb_bounds(bad, bits=14))
+    finally:
+        cfg.debug_checks = False

@@ -39,6 +39,28 @@ ZERO = int_to_limbs(0)
 ONE = int_to_limbs(1)
 
 
+def debug_assert_limb_bounds(x: jnp.ndarray, bits: int = 31,
+                             what: str = "limbs") -> jnp.ndarray:
+    """Runtime limb-bound assertion, enabled by Config.debug_checks /
+    ZKVM_TPU_DEBUG_CHECKS (the role of upstream's debug_assert! limb
+    invariants - SURVEY.md par.5.2).  Free when disabled; under jit the
+    check runs as a host callback."""
+    from ..utils.config import get_config
+    if not get_config().debug_checks:
+        return x
+    import jax
+
+    def _check(v, bits=bits, what=what):
+        import numpy as _np
+        m = int(_np.abs(_np.asarray(v)).max()) if v.size else 0
+        if m >= (1 << bits):
+            raise AssertionError(
+                f"{what}: limb magnitude {m} >= 2^{bits}"
+            )
+    jax.debug.callback(_check, x)
+    return x
+
+
 def carry_once(x: jnp.ndarray) -> jnp.ndarray:
     """One parallel carry-propagation pass with the 2^260 -> 608 wrap.
     Signed-safe: arithmetic shift keeps x == (x>>13)*2^13 + (x&mask).
@@ -100,7 +122,9 @@ def _reduce_columns(c):
 
 
 def mul(a, b):
-    return _reduce_columns(_product_columns(a, b))
+    return debug_assert_limb_bounds(
+        _reduce_columns(_product_columns(a, b)), bits=14, what="mul output"
+    )
 
 
 def sqr(a):

@@ -857,3 +857,97 @@ def msm(points_oracle, scalars: list[int], wbits: int | None = None,
     pts, digits = pad_batch_lm(pts, digits)
     totals = window_totals_packed(pts, digits, wbits, interpret)
     return combine_window_totals(totals, wbits)
+
+
+# --------------------------------------------------- compact-upload frontend
+# The axon tunnel moves ~40 MB/s host->device: limb-packed int32 points are
+# 320 B/point and host-decomposed digits another ~104 B, so at batch-verify
+# sizes the UPLOAD outweighs the MSM.  Ship 128 B canonical u32 words per
+# point + 32 B per scalar and do the limb decode / signed digit recode on
+# device (bit plumbing is free next to the point adds).
+
+def decode_words_lm(words: jnp.ndarray) -> jnp.ndarray:
+    """(8, n) uint32 little-endian field words -> (NLIMBS, n) int32 13-bit
+    limbs (device analogue of kernels.limbs.int_to_limbs)."""
+    w = jnp.concatenate([words, jnp.zeros_like(words[:1])])  # (9, n)
+    limbs = []
+    for j in range(NLIMBS):
+        bit = LIMB_BITS * j
+        k, s = bit >> 5, bit & 31
+        lo = w[k] >> s
+        if s > 32 - LIMB_BITS:
+            lo = lo | (w[k + 1] << (32 - s))
+        limbs.append((lo & jnp.uint32(LIMB_MASK)).astype(jnp.int32))
+    return jnp.stack(limbs)
+
+
+def recode_digits_device(words: jnp.ndarray, wbits: int, nw: int
+                         ) -> jnp.ndarray:
+    """(8, n) uint32 scalar words -> (n, nw) int32 signed radix-2^w digits
+    (device analogue of kernels.msm.signed_digits_radix_2w; scalars must be
+    < l so the top window cannot carry out, as the host version asserts)."""
+    w = jnp.concatenate([words, jnp.zeros_like(words[:1])])
+    half = 1 << (wbits - 1)
+    carry = jnp.zeros(words.shape[1:], jnp.int32)
+    cols = []
+    for j in range(nw):
+        bit = wbits * j
+        k, s = bit >> 5, bit & 31
+        lo = w[k] >> s
+        if s:
+            lo = lo | (w[k + 1] << (32 - s))
+        raw = (lo & jnp.uint32((1 << wbits) - 1)).astype(jnp.int32) + carry
+        over = raw >= half
+        cols.append(jnp.where(over, raw - (1 << wbits), raw))
+        carry = over.astype(jnp.int32)
+    return jnp.stack(cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def window_totals_from_words(point_words: jnp.ndarray,
+                             scalar_words: jnp.ndarray,
+                             wbits: int, interpret: bool = False
+                             ) -> jnp.ndarray:
+    """point_words (4, 8, n) u32 + scalar_words (8, n) u32 -> packed
+    (4, NLIMBS, nw) per-window totals.  One upload-light dispatch."""
+    pts = PointBatch(*(decode_words_lm(point_words[i]) for i in range(4)))
+    digits = recode_digits_device(scalar_words, wbits, num_windows(wbits))
+    t = window_totals(pts, digits, wbits, interpret)
+    return jnp.stack([t.x, t.y, t.z, t.t])
+
+
+_IDENTITY_WORDS = np.zeros((4, 8), np.uint32)
+_IDENTITY_WORDS[1, 0] = 1   # Y = 1
+_IDENTITY_WORDS[2, 0] = 1   # Z = 1
+
+
+def point_words(ep) -> np.ndarray:
+    """(4, 8) uint32 canonical words of one extended point."""
+    blob = b"".join(int(c).to_bytes(32, "little") for c in ep)
+    return np.frombuffer(blob, np.uint32).reshape(4, 8)
+
+
+def pack_words(points_ep, scalars, min_size: int = 16
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Host packing: points + scalars -> ((4, 8, n), (8, n)) u32 arrays,
+    padded with identity points / zero scalars.  Above the seq pipeline's
+    tile (4096) pad to the next MULTIPLE of it, not the next power of two:
+    a 17k-point batch-verify MSM would otherwise waste 47% of the chip."""
+    n = len(scalars)
+    seq_tile = SEQ_LANES * SEQ_BLOCK
+    if n > seq_tile:
+        size = -(-n // seq_tile) * seq_tile
+    else:
+        size = 1
+        while size < max(min_size, 16, n):
+            size *= 2
+    pw = np.empty((size, 4, 8), np.uint32)
+    for i, ep in enumerate(points_ep):
+        pw[i] = ep if isinstance(ep, np.ndarray) else point_words(ep)
+    pw[n:] = _IDENTITY_WORDS
+    blob = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    sw = np.zeros((size, 8), np.uint32)
+    if n:
+        sw[:n] = np.frombuffer(blob, np.uint32).reshape(n, 8)
+    return (np.ascontiguousarray(pw.transpose(1, 2, 0)),
+            np.ascontiguousarray(sw.T))

@@ -19,7 +19,7 @@ from . import edwards, field
 class RistrettoPoint:
     """An element of the Ristretto255 group, internally an Edwards point."""
 
-    __slots__ = ("ep", "_limbs")  # _limbs: device-pack cache (kernels/engine.py)
+    __slots__ = ("ep", "_limbs", "_words")  # device-pack caches (kernels/engine.py)
 
     def __init__(self, ep: edwards.Point):
         self.ep = ep
@@ -182,18 +182,24 @@ def decompress_batch(encodings: list[bytes]):
     if raw is None:
         return None
     coords, ok = raw
+    import numpy as np
+    words_all = np.frombuffer(coords, np.uint32).reshape(n, 4, 8)
     out = []
     for i in range(n):
         if not ok[i]:
             out.append(None)
             continue
         o = coords[128 * i: 128 * (i + 1)]
-        out.append(RistrettoPoint((
+        p = RistrettoPoint((
             int.from_bytes(o[0:32], "little"),
             int.from_bytes(o[32:64], "little"),
             int.from_bytes(o[64:96], "little"),
             int.from_bytes(o[96:128], "little"),
-        )))
+        ))
+        # the native coords ARE the engine's compact upload form — attach
+        # so kernels/engine._point_words never re-serializes these points
+        p._words = words_all[i]
+        out.append(p)
     return out
 
 

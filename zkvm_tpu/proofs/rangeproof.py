@@ -247,7 +247,7 @@ class RangeProof:
         return RangeProof(A, S, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp)
 
 
-def batch_verify(
+def batch_verification_job(
     proofs: list[RangeProof],
     bp_gens: BulletproofGens,
     pc_gens: PedersenGens,
@@ -255,9 +255,11 @@ def batch_verify(
     value_commitments: list[list[bytes]],
     n: int,
     entropy: bytes = b"\x01" * 32,
-) -> None:
-    """Verify many range proofs in one MSM via a random linear combination
-    (SURVEY.md §2.9 P3; the BASELINE config-2 hot path).
+) -> tuple[list[int], list]:
+    """Host half of batched verification: assemble the combined mega-check
+    (scalars, points) that must sum to the identity.  Split out so callers
+    can PIPELINE host assembly of batch k+1 against the device MSM of
+    batch k (bench.py measures the overlapped throughput).
 
     Static generator columns (G, H, B, B_blinding) are shared: their scalars
     accumulate across proofs, so the combined MSM has
@@ -313,7 +315,23 @@ def batch_verify(
         col = ScalarVec.from_ints([bb_s, b_s] + g_s + pad + h_s + pad)
         static_acc = static_acc.add(col.scale(weight))
 
-    if not get_engine().msm_is_identity(
-        static_acc.to_ints() + dyn_scalars, static_points + dyn_points
-    ):
+    return (static_acc.to_ints() + dyn_scalars,
+            static_points + dyn_points)
+
+
+def batch_verify(
+    proofs: list[RangeProof],
+    bp_gens: BulletproofGens,
+    pc_gens: PedersenGens,
+    transcripts: list[ProofTranscript],
+    value_commitments: list[list[bytes]],
+    n: int,
+    entropy: bytes = b"\x01" * 32,
+) -> None:
+    """Verify many range proofs in one MSM via a random linear combination
+    (SURVEY.md §2.9 P3; the BASELINE config-2 hot path)."""
+    scalars, points = batch_verification_job(
+        proofs, bp_gens, pc_gens, transcripts, value_commitments, n, entropy
+    )
+    if not get_engine().msm_is_identity(scalars, points):
         raise VerificationError("batch range proof verification failed")

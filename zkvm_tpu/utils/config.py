@@ -19,6 +19,7 @@ class Config:
     mesh_dp: int | None = None      # data-parallel axis size (None = 1)
     mesh_tp: int | None = None      # tensor-parallel axis size (None = all)
     debug_interpret: bool = False   # Pallas/XLA interpret mode
+    debug_checks: bool = False      # runtime limb-bound assertions (SURVEY §5.2)
     range_bits: int = 64            # default cloak range check width
 
     @staticmethod
@@ -34,6 +35,7 @@ class Config:
         if os.environ.get("ZKVM_TPU_MESH_TP"):
             c.mesh_tp = int(os.environ["ZKVM_TPU_MESH_TP"])
         c.debug_interpret = bool(os.environ.get("ZKVM_TPU_INTERPRET"))
+        c.debug_checks = bool(os.environ.get("ZKVM_TPU_DEBUG_CHECKS"))
         return c
 
     def apply(self):
