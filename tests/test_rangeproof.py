@@ -138,3 +138,38 @@ def test_batch_verify():
             [bad] + proofs[1:], BP_GENS, PC_GENS,
             [ProofTranscript(b"batch") for _ in proofs], vcs, 16,
         )
+
+
+def test_fused_replay_matches_python_strobe():
+    """The fused native transcript replay (strobe.cpp rangeproof_replay)
+    must be bit-identical to the pure-Python strobe sequence: identical
+    mega-check scalars/points, and the transcript states must agree
+    afterwards (a challenge drawn from each must match)."""
+    from zkvm_tpu.oracle.strobe import Strobe128
+    from zkvm_tpu.proofs.transcript import ProofTranscript
+
+    pc, bp = PedersenGens(), BulletproofGens(64)
+    proof, V = RangeProof.prove_single(
+        bp, pc, ProofTranscript(b"fused"), 98765, 4321, 64
+    )
+
+    t_native = ProofTranscript(b"fused")
+    assert hasattr(t_native.strobe, "_buf"), "native strobe expected"
+    sc_n, pts_n = proof.verification_job(bp, pc, t_native, [V], 64)
+
+    from zkvm_tpu.constants import MERLIN_DOMSEP_LABEL, MERLIN_PROTOCOL_LABEL
+    t_py2 = ProofTranscript.__new__(ProofTranscript)
+    t_py2.strobe = Strobe128(MERLIN_PROTOCOL_LABEL)
+    t_py2.append_message(MERLIN_DOMSEP_LABEL, b"fused")
+    sc_p, pts_p = proof.verification_job(bp, pc, t_py2, [V], 64)
+
+    assert sc_n == sc_p
+    assert [p.compress() for p in pts_n] == [p.compress() for p in pts_p]
+    assert (t_native.challenge_scalar(b"post")
+            == t_py2.challenge_scalar(b"post"))
+
+    # identity A must be rejected by the fused path too
+    import dataclasses
+    bad = dataclasses.replace(proof, A=b"\x00" * 32)
+    with pytest.raises(Exception):
+        bad.verification_job(bp, pc, ProofTranscript(b"fused"), [V], 64)

@@ -81,7 +81,8 @@ class JaxEngine(Engine):
         return self.pipeline == "pallas"
 
     def msm(self, scalars, points) -> ristretto.RistrettoPoint:
-        scalars = [int(s) % L for s in scalars]
+        if not hasattr(scalars, "buf"):  # ScalarVec stays packed
+            scalars = [int(s) % L for s in scalars]
         points = list(points)
         if len(scalars) < self.min_msm_size:
             return self._oracle.msm(scalars, points)
@@ -116,7 +117,8 @@ class JaxEngine(Engine):
         batch's verification job while the chip runs this one
         (bench.py's pipelined batched-verification measurement)."""
         from . import pallas_msm as pmsm
-        scalars = [int(s) % L for s in scalars]
+        if not hasattr(scalars, "buf"):  # ScalarVec stays packed
+            scalars = [int(s) % L for s in scalars]
         wbits = self.wbits or pmsm.best_wbits(len(scalars))
         pw, sw = pmsm.pack_words(
             [_point_words(p) for p in points], scalars

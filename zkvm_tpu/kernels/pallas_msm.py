@@ -945,7 +945,10 @@ def pack_words(points_ep, scalars, min_size: int = 16
     for i, ep in enumerate(points_ep):
         pw[i] = ep if isinstance(ep, np.ndarray) else point_words(ep)
     pw[n:] = _IDENTITY_WORDS
-    blob = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    if hasattr(scalars, "buf"):  # packed ScalarVec: zero-copy reinterpret
+        blob = scalars.buf
+    else:
+        blob = b"".join(int(s).to_bytes(32, "little") for s in scalars)
     sw = np.zeros((size, 8), np.uint32)
     if n:
         sw[:n] = np.frombuffer(blob, np.uint32).reshape(n, 8)

@@ -117,6 +117,15 @@ def _build_and_load():
     lib.ed_combine_windows.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p
     ]
+    lib.rangeproof_replay.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.rangeproof_replay.restype = ctypes.c_int
+    lib.sv_from_wide.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     from ..constants import EDWARDS_D2
     lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
@@ -479,3 +488,30 @@ class ScalarVec:
         out = ctypes.create_string_buffer(32 * n)
         lib.scl_powers(x.to_bytes(32, "little"), n, out)
         return ScalarVec(out.raw, n)
+
+
+def rangeproof_replay(strobe, rp_label: bytes, ipp_label: bytes, n: int,
+                      m: int, v_blob: bytes, header_blob: bytes,
+                      lr_blob: bytes, lg_n: int):
+    """Fused verification-transcript replay (strobe.cpp): advances the
+    native strobe through the whole rangeproof + IPP challenge sequence in
+    one call and returns (y, z, x, w, c, [u_0..u_{lg_n-1}]) as ints.
+    Returns None when the native path is unavailable (pure-Python strobe);
+    raises ProofError on an identity point exactly like
+    transcript.validate_and_append_point."""
+    lib = get_lib()
+    buf = getattr(strobe, "_buf", None)
+    if lib is None or buf is None:
+        return None
+    out = ctypes.create_string_buffer((5 + lg_n) * 32)
+    rc = lib.rangeproof_replay(
+        buf, rp_label, len(rp_label), ipp_label, len(ipp_label),
+        n, m, v_blob, header_blob, lr_blob, lg_n, out,
+    )
+    if rc != 0:
+        from ..proofs.errors import ProofError
+        raise ProofError("point validation failed: identity")
+    raw = out.raw
+    vals = [int.from_bytes(raw[32 * i: 32 * (i + 1)], "little")
+            for i in range(5 + lg_n)]
+    return vals[0], vals[1], vals[2], vals[3], vals[4], vals[5:]

@@ -125,6 +125,22 @@ bool is_zero4(const u64 a[4]) {
 
 extern "C" {
 
+// 64 uniform little-endian bytes -> canonical scalar mod l (the
+// challenge_scalar / TranscriptRng::random_scalar reduction).  Safe for
+// lo,hi < 2^256: CIOS with one operand < l keeps t < 2l.
+void sv_from_wide(const uint8_t* in64, uint8_t* out32) {
+    u64 lo[4], hi[4], a[4], b[4];
+    const u64 one[4] = {1, 0, 0, 0};
+    load4(lo, in64);
+    load4(hi, in64 + 32);
+    mont_mul(a, lo, RR_);   // lo * R
+    mont_mul(a, a, one);    // lo mod l
+    mont_mul(b, hi, RR_);   // hi * 2^256 mod l
+    addmod(a, a, b);
+    store4(out32, a);
+}
+
+
 void scl_set_constants(const uint8_t* l_le, const uint8_t* rr_le,
                        const uint8_t* lm2_le) {
     load4(L_, l_le);

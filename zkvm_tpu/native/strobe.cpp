@@ -177,3 +177,109 @@ void strobe_challenge_bytes(Strobe* s, const uint8_t* label, size_t label_len,
 }
 
 }  // extern "C"
+
+
+// ------------------------------------------------------------------------
+// Fused rangeproof verification-transcript replay: ONE ctypes crossing for
+// the whole challenge sequence of proofs/rangeproof.py::verification_job +
+// proofs/ipp.py::verification_scalars (bit-identical; parity-tested).
+// Labels mirror the Python protocol code; the domain-separation labels
+// come from constants.py via arguments (repo convention: no transcribed
+// protocol constants in C++).
+
+extern "C" void sv_from_wide(const uint8_t* in64, uint8_t* out32);
+
+namespace {
+
+void append_u64_op(Strobe* s, const char* label, size_t ll, uint64_t v) {
+    uint8_t le[8];
+    for (int i = 0; i < 8; i++) le[i] = (uint8_t)(v >> (8 * i));
+    strobe_append_message(s, (const uint8_t*)label, ll, le, 8);
+}
+
+void challenge_scalar_op(Strobe* s, const char* label, size_t ll,
+                         uint8_t out[32]) {
+    uint8_t wide[64];
+    strobe_challenge_bytes(s, (const uint8_t*)label, ll, wide, 64);
+    sv_from_wide(wide, out);
+}
+
+int is_zero32(const uint8_t* p) {
+    uint8_t a = 0;
+    for (int i = 0; i < 32; i++) a |= p[i];
+    return a == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; k>0 = the k-th validated point (A,S,T1,T2,L0,R0,..)
+// was the identity encoding (caller raises; transcript state is then dead).
+// out = y,z,x,w,c,u[0..lg_n) as 32-byte canonical scalars.
+int rangeproof_replay(Strobe* s,
+                      const uint8_t* rp_label, size_t rp_label_len,
+                      const uint8_t* ipp_label, size_t ipp_label_len,
+                      uint64_t n, uint64_t m,
+                      const uint8_t* V,        // m * 32
+                      const uint8_t* header,   // A,S,T1,T2,t_x,t_xb,e_b
+                      const uint8_t* LR, int lg_n,  // L0,R0,L1,R1,...
+                      uint8_t* out) {
+    strobe_append_message(s, (const uint8_t*)"dom-sep", 7,
+                          rp_label, rp_label_len);
+    append_u64_op(s, "n", 1, n);
+    append_u64_op(s, "m", 1, m);
+    for (uint64_t j = 0; j < m; j++)
+        strobe_append_message(s, (const uint8_t*)"V", 1, V + 32 * j, 32);
+    const uint8_t* A = header;
+    const uint8_t* Sp = header + 32;
+    const uint8_t* T1 = header + 64;
+    const uint8_t* T2 = header + 96;
+    if (is_zero32(A)) return 1;
+    strobe_append_message(s, (const uint8_t*)"A", 1, A, 32);
+    if (is_zero32(Sp)) return 2;
+    strobe_append_message(s, (const uint8_t*)"S", 1, Sp, 32);
+    challenge_scalar_op(s, "y", 1, out);
+    challenge_scalar_op(s, "z", 1, out + 32);
+    if (is_zero32(T1)) return 3;
+    strobe_append_message(s, (const uint8_t*)"T_1", 3, T1, 32);
+    if (is_zero32(T2)) return 4;
+    strobe_append_message(s, (const uint8_t*)"T_2", 3, T2, 32);
+    challenge_scalar_op(s, "x", 1, out + 64);
+    strobe_append_message(s, (const uint8_t*)"t_x", 3, header + 128, 32);
+    strobe_append_message(s, (const uint8_t*)"t_x_blinding", 12,
+                          header + 160, 32);
+    strobe_append_message(s, (const uint8_t*)"e_blinding", 10,
+                          header + 192, 32);
+    challenge_scalar_op(s, "w", 1, out + 96);
+
+    // verifier weight c: TranscriptRngBuilder(clone).finalize(zeros32)
+    // .random_scalar() — clone, meta_ad("rng"), KEY(zero entropy),
+    // meta_ad(le32(64)), prf(64), wide-reduce
+    Strobe rng;
+    std::memcpy(&rng, s, sizeof(Strobe));
+    strobe_meta_ad(&rng, (const uint8_t*)"rng", 3, 0);
+    uint8_t zero32[32] = {0};
+    strobe_key(&rng, zero32, 32, 0);
+    uint8_t le4[4] = {64, 0, 0, 0};
+    strobe_meta_ad(&rng, le4, 4, 0);
+    uint8_t wide[64];
+    strobe_prf(&rng, wide, 64, 0);
+    sv_from_wide(wide, out + 128);
+
+    strobe_append_message(s, (const uint8_t*)"dom-sep", 7,
+                          ipp_label, ipp_label_len);
+    append_u64_op(s, "n", 1, n * m);
+    for (int r = 0; r < lg_n; r++) {
+        const uint8_t* Lb = LR + 64 * r;
+        const uint8_t* Rb = LR + 64 * r + 32;
+        if (is_zero32(Lb)) return 5 + 2 * r;
+        strobe_append_message(s, (const uint8_t*)"L", 1, Lb, 32);
+        if (is_zero32(Rb)) return 6 + 2 * r;
+        strobe_append_message(s, (const uint8_t*)"R", 1, Rb, 32);
+        challenge_scalar_op(s, "u", 1, out + 32 * (5 + r));
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -23,6 +23,8 @@ class Engine:
 
     def msm(self, scalars, points) -> ristretto.RistrettoPoint:
         """Variable-time multiscalar multiplication: sum_i scalars[i] * points[i]."""
+        if hasattr(scalars, "to_ints"):  # packed ScalarVec fast path input
+            scalars = scalars.to_ints()
         from ..native import ed_msm
         eps = [p.ep for p in points]
         native = ed_msm(scalars, eps) if eps else None

@@ -141,7 +141,15 @@ class InnerProductProof:
             transcript.validate_and_append_point(b"L", Lb)
             transcript.validate_and_append_point(b"R", Rb)
             challenges.append(transcript.challenge_scalar(b"u"))
+        u_sq, u_inv_sq, s_vec = self.scalars_from_challenges(challenges)
+        return u_sq, u_inv_sq, s_vec.to_ints()
 
+    def scalars_from_challenges(self, challenges: list[int]):
+        """The transcript-free tail of verification_scalars: u^2 / u^-2 and
+        the s-vector (as a packed ScalarVec — stays packed all the way into
+        the device engine) from already-drawn round challenges (the fused
+        native replay draws them in one call — native/strobe.cpp)."""
+        lg_n = len(self.L_vec)
         challenges_inv = scalar.batch_invert(challenges)
         allinv = 1
         for ci in challenges_inv:
@@ -157,9 +165,8 @@ class InnerProductProof:
         for j in range(lg_n):
             scaled = sv.scale(u_sq[(lg_n - 1) - j])
             sv = ScalarVec(sv.buf + scaled.buf, 2 * sv.n)
-        s = sv.to_ints()
 
-        return u_sq, u_inv_sq, s
+        return u_sq, u_inv_sq, sv
 
     def verify(
         self,

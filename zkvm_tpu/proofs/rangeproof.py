@@ -19,7 +19,7 @@ from ..oracle import scalar
 from ..oracle.merlin import TranscriptRng
 from ..oracle.ristretto import RistrettoPoint
 from .engine import get_engine
-from .errors import FormatError, VerificationError
+from .errors import FormatError, ProofError, VerificationError
 from .generators import BulletproofGens, PedersenGens
 from .ipp import InnerProductProof
 from .mpc import Dealer, Party
@@ -100,7 +100,7 @@ class RangeProof:
         return proof, commitments[0]
 
     # ----------------------------------------------------------------- verify
-    def verification_job(
+    def _job_parts(
         self,
         bp_gens: BulletproofGens,
         pc_gens: PedersenGens,
@@ -108,10 +108,10 @@ class RangeProof:
         value_commitments: list[bytes],
         n: int,
         c: int | None = None,
-    ) -> tuple[list[int], list[RistrettoPoint]]:
-        """Replay the transcript and emit the mega-check MSM (scalars, points)
-        that must sum to the identity.  This is the batching seam: callers
-        combine several jobs with random weights into one MSM.
+    ) -> "_JobParts":
+        """Replay the transcript and emit the mega-check MSM sections.
+        This is the batching seam: callers combine several jobs with random
+        weights into one MSM; the g/h columns stay as packed ScalarVec.
         """
         m = len(value_commitments)
         if n not in (8, 16, 32, 64):
@@ -121,37 +121,82 @@ class RangeProof:
         if bp_gens.gens_capacity < n or bp_gens.party_capacity < m:
             raise FormatError("invalid generators length")
 
-        transcript.rangeproof_domain_sep(n, m)
-        for V in value_commitments:
-            transcript.append_point(b"V", V)
-        transcript.validate_and_append_point(b"A", self.A)
-        transcript.validate_and_append_point(b"S", self.S)
-        y = transcript.challenge_scalar(b"y")
-        z = transcript.challenge_scalar(b"z")
-        transcript.validate_and_append_point(b"T_1", self.T_1)
-        transcript.validate_and_append_point(b"T_2", self.T_2)
-        x = transcript.challenge_scalar(b"x")
-        transcript.append_scalar(b"t_x", self.t_x)
-        transcript.append_scalar(b"t_x_blinding", self.t_x_blinding)
-        transcript.append_scalar(b"e_blinding", self.e_blinding)
-        w = transcript.challenge_scalar(b"w")
+        lg_nm = (n * m).bit_length() - 1
+        for pb in ([self.A, self.S, self.T_1, self.T_2]
+                   + list(self.ipp_proof.L_vec) + list(self.ipp_proof.R_vec)
+                   + list(value_commitments)):
+            if len(pb) != 32:
+                raise ProofError("point validation failed: bad length")
+        if len(self.ipp_proof.L_vec) != lg_nm or n * m != 1 << lg_nm:
+            raise FormatError("inner product proof size mismatch")
 
-        # Verifier-local random weight combining the t-check and P-check;
-        # drawn from the transcript RNG (upstream uses the thread rng).
-        if c is None:
-            c = transcript.build_rng().finalize(b"\x00" * 32).random_scalar()
+        # fused native transcript replay: one ctypes crossing for the whole
+        # challenge sequence (native/strobe.cpp rangeproof_replay,
+        # bit-identical to the Python sequence in the else-branch)
+        from ..constants import LABEL_IPP, LABEL_RANGEPROOF
+        from ..native import rangeproof_replay
+        rep = rangeproof_replay(
+            transcript.strobe, LABEL_RANGEPROOF, LABEL_IPP, n, m,
+            b"".join(value_commitments),
+            self.A + self.S + self.T_1 + self.T_2
+            + scalar.to_bytes(self.t_x)
+            + scalar.to_bytes(self.t_x_blinding)
+            + scalar.to_bytes(self.e_blinding),
+            b"".join(
+                lb + rb for lb, rb in
+                zip(self.ipp_proof.L_vec, self.ipp_proof.R_vec)
+            ),
+            lg_nm,
+        )
+        if rep is not None:
+            y, z, x, w, c_rng, u_challenges = rep
+            if c is None:
+                c = c_rng
+            u_sq, u_inv_sq, sv = self.ipp_proof.scalars_from_challenges(
+                u_challenges
+            )
+        else:  # pure-Python strobe fallback (semantic ground truth)
+            transcript.rangeproof_domain_sep(n, m)
+            for V in value_commitments:
+                transcript.append_point(b"V", V)
+            transcript.validate_and_append_point(b"A", self.A)
+            transcript.validate_and_append_point(b"S", self.S)
+            y = transcript.challenge_scalar(b"y")
+            z = transcript.challenge_scalar(b"z")
+            transcript.validate_and_append_point(b"T_1", self.T_1)
+            transcript.validate_and_append_point(b"T_2", self.T_2)
+            x = transcript.challenge_scalar(b"x")
+            transcript.append_scalar(b"t_x", self.t_x)
+            transcript.append_scalar(b"t_x_blinding", self.t_x_blinding)
+            transcript.append_scalar(b"e_blinding", self.e_blinding)
+            w = transcript.challenge_scalar(b"w")
 
-        u_sq, u_inv_sq, s = self.ipp_proof.verification_scalars(n * m, transcript)
+            # Verifier-local random weight combining the t-check and
+            # P-check; drawn from the transcript RNG (upstream: thread rng)
+            if c is None:
+                c = (transcript.build_rng().finalize(b"\x00" * 32)
+                     .random_scalar())
+
+            transcript.innerproduct_domain_sep(n * m)
+            u_challenges = []
+            for Lb, Rb in zip(self.ipp_proof.L_vec, self.ipp_proof.R_vec):
+                transcript.validate_and_append_point(b"L", Lb)
+                transcript.validate_and_append_point(b"R", Rb)
+                u_challenges.append(transcript.challenge_scalar(b"u"))
+            u_sq, u_inv_sq, sv = self.ipp_proof.scalars_from_challenges(
+                u_challenges
+            )
         a, b = self.ipp_proof.a % L, self.ipp_proof.b % L
 
         zz = z * z % L
         minus_z = (-z) % L
 
-        # scalar assembly on ScalarVec (native 4x64 Montgomery vectors):
+        # scalar assembly on ScalarVec (native 4x64 Montgomery vectors),
+        # kept PACKED all the way into the device engine (to_ints/to_bytes
+        # round trips were ~40% of the batched-verify host profile):
         #   g_i = -z - a*s_i
         #   h_i = z + y^-i * (z^2 * z_and_2_i - b / s_i)
         from ..native import ScalarVec
-        sv = ScalarVec.from_ints(s)
         s_inv_v = sv.reverse()  # 1/s_i = s_{nm-1-i}
         y_inv = scalar.invert(y)
         exp_y_inv_v = ScalarVec.powers(y_inv, n * m)
@@ -163,10 +208,10 @@ class RangeProof:
             zexp = zexp * z % L
         z2_v = ScalarVec.concat(*z2_parts)
 
-        g_scalars = sv.axpb((-a) % L, minus_z).to_ints()
-        h_scalars = (
+        g_v = sv.axpb((-a) % L, minus_z)
+        h_v = (
             z2_v.scale(zz).sub(s_inv_v.scale(b)).mul(exp_y_inv_v)
-            .axpb(1, z).to_ints()
+            .axpb(1, z)
         )
         value_commitment_scalars = [
             c * zz % L * ze % L for ze in powers(z, m)
@@ -175,15 +220,12 @@ class RangeProof:
             w * ((self.t_x - a * b) % L) + c * ((delta(n, m, y, z) - self.t_x) % L)
         ) % L
 
-        scalars = (
+        head = (
             [1, x, c * x % L, c * x % L * x % L]
             + list(u_sq)
             + list(u_inv_sq)
-            + [(-self.e_blinding - c * self.t_x_blinding) % L, basepoint_scalar]
-            + g_scalars
-            + h_scalars
-            + value_commitment_scalars
         )
+        bb_s = (-self.e_blinding - c * self.t_x_blinding) % L
         from ..oracle.ristretto import decompress_many
         dyn = decompress_many(
             [self.A, self.S, self.T_1, self.T_2]
@@ -191,12 +233,38 @@ class RangeProof:
             + list(value_commitments)
         )  # one native batch call: the host profile is decompress-dominated
         k = 4 + len(self.ipp_proof.L_vec) + len(self.ipp_proof.R_vec)
+        return _JobParts(
+            head=head, bb_s=bb_s, b_s=basepoint_scalar, g_v=g_v, h_v=h_v,
+            v_s=value_commitment_scalars, head_points=dyn[:k],
+            v_points=dyn[k:],
+        )
+
+    def verification_job(
+        self,
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: ProofTranscript,
+        value_commitments: list[bytes],
+        n: int,
+        c: int | None = None,
+    ) -> tuple[list[int], list[RistrettoPoint]]:
+        """Replay the transcript and emit the mega-check MSM
+        (scalars, points) that must sum to the identity — the flat-list
+        view of _job_parts (single-proof verify; batch_verification_job
+        consumes the structured parts directly to stay packed)."""
+        m = len(value_commitments)
+        p = self._job_parts(bp_gens, pc_gens, transcript,
+                            value_commitments, n, c)
+        scalars = (
+            p.head + [p.bb_s, p.b_s] + p.g_v.to_ints() + p.h_v.to_ints()
+            + p.v_s
+        )
         points = (
-            dyn[:k]
+            p.head_points
             + [pc_gens.B_blinding, pc_gens.B]
             + bp_gens.G(n, m)
             + bp_gens.H(n, m)
-            + dyn[k:]
+            + p.v_points
         )
         return scalars, points
 
@@ -247,6 +315,21 @@ class RangeProof:
         return RangeProof(A, S, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp)
 
 
+@dataclass
+class _JobParts:
+    """Sections of one proof's mega-check MSM, with the big per-entry
+    columns (g/h) as packed ScalarVec so batching never round-trips
+    through Python ints (see _job_parts / batch_verification_job)."""
+    head: list          # [1, x, cx, cxx] + u_sq + u_inv_sq  (ints)
+    bb_s: int           # B_blinding scalar
+    b_s: int            # B scalar
+    g_v: "object"       # ScalarVec, len n*m
+    h_v: "object"       # ScalarVec, len n*m
+    v_s: list           # value-commitment scalars (ints, len m)
+    head_points: list   # A,S,T1,T2,L...,R... (decompressed)
+    v_points: list      # value commitments (decompressed)
+
+
 def batch_verification_job(
     proofs: list[RangeProof],
     bp_gens: BulletproofGens,
@@ -255,8 +338,10 @@ def batch_verification_job(
     value_commitments: list[list[bytes]],
     n: int,
     entropy: bytes = b"\x01" * 32,
-) -> tuple[list[int], list]:
+) -> tuple["object", list]:
     """Host half of batched verification: assemble the combined mega-check
+    as (ScalarVec, points) — scalars stay in packed 32-byte form all the
+    way into the engine
     (scalars, points) that must sum to the identity.  Split out so callers
     can PIPELINE host assembly of batch k+1 against the device MSM of
     batch k (bench.py measures the overlapped throughput).
@@ -280,7 +365,8 @@ def batch_verification_job(
         + bp_gens.H(n, max_m)
     )
     static_acc = ScalarVec.from_ints([0] * (2 + 2 * nm_max))
-    dyn_scalars: list[int] = []
+    zero32 = b"\x00" * 32
+    dyn_chunks: list[ScalarVec] = []
     dyn_points: list[RistrettoPoint] = []
 
     import hashlib
@@ -289,34 +375,31 @@ def batch_verification_job(
     ):
         m = len(vcs)
         nm = n * m
-        scalars, points = proof.verification_job(
-            bp_gens, pc_gens, transcript, vcs, n
-        )
+        p = proof._job_parts(bp_gens, pc_gens, transcript, vcs, n)
         # random per-proof weight
         weight = scalar.from_bytes_mod_order_wide(
             hashlib.sha3_512(entropy + idx.to_bytes(8, "little")
                              + proof.to_bytes()).digest()
         )
-        n_dyn_head = 4 + 2 * len(proof.ipp_proof.L_vec)  # A,S,T1,T2,L,R
-        head_s, head_p = scalars[:n_dyn_head], points[:n_dyn_head]
-        bb_s = scalars[n_dyn_head]          # B_blinding
-        b_s = scalars[n_dyn_head + 1]       # B
-        g_s = scalars[n_dyn_head + 2: n_dyn_head + 2 + nm]
-        h_s = scalars[n_dyn_head + 2 + nm: n_dyn_head + 2 + 2 * nm]
-        v_s = scalars[n_dyn_head + 2 + 2 * nm:]
-        v_p = points[n_dyn_head + 2 + 2 * nm:]
-
-        dyn_scalars.extend(
-            ScalarVec.from_ints(head_s + v_s).scale(weight).to_ints()
+        dyn_chunks.append(
+            ScalarVec.from_ints(p.head + p.v_s).scale(weight)
         )
-        dyn_points.extend(head_p + v_p)
-        # static columns accumulate weight * scalar, zero-padded to nm_max
-        pad = [0] * (nm_max - nm)
-        col = ScalarVec.from_ints([bb_s, b_s] + g_s + pad + h_s + pad)
+        dyn_points.extend(p.head_points + p.v_points)
+        # static columns accumulate weight * scalar, zero-padded to nm_max;
+        # everything stays in packed 32-byte form (no int round trips)
+        pad = zero32 * (nm_max - nm)
+        col = ScalarVec(
+            ScalarVec.from_ints([p.bb_s, p.b_s]).buf
+            + p.g_v.buf + pad + p.h_v.buf + pad,
+            2 + 2 * nm_max,
+        )
         static_acc = static_acc.add(col.scale(weight))
 
-    return (static_acc.to_ints() + dyn_scalars,
-            static_points + dyn_points)
+    combined = ScalarVec(
+        static_acc.buf + b"".join(c.buf for c in dyn_chunks),
+        len(static_acc) + sum(len(c) for c in dyn_chunks),
+    )
+    return combined, static_points + dyn_points
 
 
 def batch_verify(
