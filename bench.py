@@ -261,10 +261,60 @@ def _child_host():
         proof.verification_job(bp, pc, ProofTranscript(b"b"), [V], 64)
     job_us = (time.perf_counter() - t0) / 20 * 1e6
 
+    # BASELINE config 1: Pedersen vector commitment + IPP at n=1024
+    import random
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.oracle import scalar as osc
+    from zkvm_tpu.proofs.engine import get_engine
+    from zkvm_tpu.proofs.ipp import InnerProductProof
+    from zkvm_tpu.proofs.util import powers
+
+    n_ipp = 1024
+    rr = random.Random(1)
+    G = bp.share(0).G(n_ipp)
+    H = bp.share(0).H(n_ipp)
+    a = [rr.randrange(L) for _ in range(n_ipp)]
+    bb = [rr.randrange(L) for _ in range(n_ipp)]
+    cc = osc.inner_product(a, bb)
+    hf = powers(rr.randrange(1, L), n_ipp)
+    b_prime = [x * h % L for x, h in zip(bb, hf)]
+    P = get_engine().msm(a + b_prime + [cc], G + H + [pc.B_blinding])
+
+    t0 = time.perf_counter()
+    ipp = InnerProductProof.create(
+        ProofTranscript(b"bench-ipp"), pc.B_blinding, [1] * n_ipp, hf,
+        G, H, a, bb,
+    )
+    ipp_prove_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    ipp.verify(n_ipp, ProofTranscript(b"bench-ipp"), [1] * n_ipp, hf,
+               P, pc.B_blinding, G, H)
+    ipp_verify_ms = (time.perf_counter() - t0) * 1e3
+
+    # full ZkVM tx verify (BASELINE config 4, 1-host path)
+    from zkvm_tpu.apps import Token, issue_program
+    from zkvm_tpu.crypto.starsig import VerificationKey
+    from zkvm_tpu.vm import Tx, TxHeader, build_tx, verify_tx
+
+    key = 424242
+    pred = VerificationKey.from_secret(key).point
+    prog, _q, _f = issue_program(Token(pred, b"bench"), 1000, pred)
+    tx, _ = build_tx(prog, TxHeader(1, 0, 1 << 40), bp, {pred: key})
+    wire = tx.to_bytes()
+    verify_tx(Tx.from_bytes(wire), bp)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        verify_tx(Tx.from_bytes(wire), bp)
+    tx_verify_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     print("# metrics phases:", json.dumps(registry.summary()),
           file=sys.stderr)
     _emit({
         "mode": "host", "prove_ms": prove_ms, "job_us": job_us,
+        "ipp1024_prove_ms": ipp_prove_ms,
+        "ipp1024_verify_ms": ipp_verify_ms,
+        "tx_verify_ms": tx_verify_ms,
     })
 
 
@@ -515,12 +565,18 @@ def main():
         out["derived_from"] = f"msm 2^{best['log_n']}"
 
     # 3) prover-side + host-assembly numbers
-    d = _run_child("host", timeout=300)
+    d = _run_child("host", timeout=600)
     if d:
         out["prove_ms"] = round(d["prove_ms"], 1)
         out["host_us_per_proof_assembly"] = round(d["job_us"], 1)
+        out["ipp1024_prove_ms"] = round(d["ipp1024_prove_ms"], 1)
+        out["ipp1024_verify_ms"] = round(d["ipp1024_verify_ms"], 1)
+        out["tx_verify_ms"] = round(d["tx_verify_ms"], 1)
         print(f"# prove {out['prove_ms']} ms; verification_job "
-              f"{out['host_us_per_proof_assembly']} us", file=sys.stderr)
+              f"{out['host_us_per_proof_assembly']} us; ipp1024 prove "
+              f"{out['ipp1024_prove_ms']} / verify "
+              f"{out['ipp1024_verify_ms']} ms; tx verify "
+              f"{out['tx_verify_ms']} ms", file=sys.stderr)
     d = _run_child("cloak", timeout=600)
     if d:
         out["r1cs_cloak_prove_ms"] = round(d["prove_ms"], 1)
