@@ -200,3 +200,49 @@ def test_fixed_base_engine_parity():
         want = pc.B * v + pc.B_blinding * b
         assert g == want
         assert pc.commit(v, b) == want
+
+
+def test_rangeproof_scalar_assembly_parity():
+    """The fused C++ scalar assembly (scalarvec.cpp) must match the
+    ScalarVec-chain formulas for random challenges across (n, m) shapes."""
+    import random
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.native import ScalarVec, rangeproof_scalar_assembly
+    from zkvm_tpu.oracle import scalar
+    from zkvm_tpu.proofs.rangeproof import delta
+    from zkvm_tpu.proofs.util import powers
+
+    r = random.Random(20)
+    for n, m in ((8, 1), (64, 1), (64, 4), (16, 8)):
+        nm = n * m
+        lg = nm.bit_length() - 1
+        us = [r.randrange(1, L) for _ in range(lg)]
+        y, z, a, b = (r.randrange(1, L) for _ in range(4))
+        got = rangeproof_scalar_assembly(us, n, m, y, z, a, b)
+        assert got is not None
+        u_sq, u_inv_sq, g_v, h_v, d = got
+
+        # reference: the formulas in their plain-int form
+        ui = scalar.batch_invert(us)
+        assert u_sq == [u * u % L for u in us]
+        assert u_inv_sq == [u * u % L for u in ui]
+        allinv = 1
+        for x in ui:
+            allinv = allinv * x % L
+        s = [allinv]
+        for j in range(lg):
+            w = u_sq[lg - 1 - j]
+            s = s + [x * w % L for x in s]
+        y_inv = scalar.invert(y)
+        zz = z * z % L
+        g_ref = [(-z - a * si) % L for si in s]
+        h_ref = []
+        for i in range(nm):
+            z2 = pow(z, i // n, L) * pow(2, i % n, L) % L
+            h_ref.append(
+                (z + pow(y_inv, i, L) * (zz * z2 - b * s[nm - 1 - i])) % L
+            )
+        assert g_v.to_ints() == g_ref, (n, m)
+        assert h_v.to_ints() == h_ref, (n, m)
+        assert d == delta(n, m, y, z), (n, m)

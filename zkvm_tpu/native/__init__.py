@@ -126,6 +126,12 @@ def _build_and_load():
     ]
     lib.rangeproof_replay.restype = ctypes.c_int
     lib.sv_from_wide.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.rangeproof_scalar_assembly.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p,
+    ]
+    lib.rangeproof_scalar_assembly.restype = ctypes.c_int
     from ..constants import EDWARDS_D2
     lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
@@ -515,3 +521,37 @@ def rangeproof_replay(strobe, rp_label: bytes, ipp_label: bytes, n: int,
     vals = [int.from_bytes(raw[32 * i: 32 * (i + 1)], "little")
             for i in range(5 + lg_n)]
     return vals[0], vals[1], vals[2], vals[3], vals[4], vals[5:]
+
+
+def rangeproof_scalar_assembly(u_challenges, n: int, m: int, y: int,
+                               z: int, a: int, b: int):
+    """Fused per-proof verifier scalar assembly (scalarvec.cpp): returns
+    (u_sq, u_inv_sq, g_v, h_v, delta) with g/h as packed ScalarVec, or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..constants import L
+    lg = len(u_challenges)
+    nm = n * m
+    out = ctypes.create_string_buffer((2 * lg + 2 * nm + 1) * 32)
+    ub = b"".join((int(u) % L).to_bytes(32, "little") for u in u_challenges)
+    rc = lib.rangeproof_scalar_assembly(
+        ub, lg, n, m,
+        (int(y) % L).to_bytes(32, "little"),
+        (int(z) % L).to_bytes(32, "little"),
+        (int(a) % L).to_bytes(32, "little"),
+        (int(b) % L).to_bytes(32, "little"),
+        out,
+    )
+    if rc != 0:
+        return None
+    raw = out.raw
+    u_sq = [int.from_bytes(raw[32 * i: 32 * i + 32], "little")
+            for i in range(lg)]
+    u_inv_sq = [int.from_bytes(raw[32 * (lg + i): 32 * (lg + i) + 32],
+                               "little") for i in range(lg)]
+    g_v = ScalarVec(raw[32 * 2 * lg: 32 * (2 * lg + nm)], nm)
+    h_v = ScalarVec(raw[32 * (2 * lg + nm): 32 * (2 * lg + 2 * nm)], nm)
+    delta_val = int.from_bytes(raw[-32:], "little")
+    return u_sq, u_inv_sq, g_v, h_v, delta_val

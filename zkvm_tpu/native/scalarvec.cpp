@@ -316,3 +316,141 @@ void scl_batch_invert(const uint8_t* a, int n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// Fused rangeproof verifier scalar assembly: the per-proof ScalarVec chain
+// of proofs/rangeproof.py::_job_parts in ONE call.  From the IPP round
+// challenges and (y, z, a, b) it emits u^2, u^-2, the g/h scalar columns,
+// and delta(n, m, y, z):
+//   s_i    = prod_j u_j^{+-1}        (doubling expansion)
+//   g_i    = -z - a*s_i
+//   h_i    = z + y^-i * (z^2 * z2_i - b / s_i),  1/s_i = s_{nm-1-i}
+//   z2_i   = z^(i div n) * 2^(i mod n)
+//   delta  = (z - z^2) * sum_{i<nm} y^i - sum_{j<m} z^(j+3) * sum_{i<n} 2^i
+// All arithmetic stays in the Montgomery domain; outputs are canonical.
+// Layout of out: u_sq (lg*32) | u_inv_sq (lg*32) | g (nm*32) | h (nm*32)
+// | delta (32).  Returns 0, or -1 on a zero challenge / bad sizes.
+
+#include <vector>
+
+extern "C" int rangeproof_scalar_assembly(
+    const uint8_t* u_bytes, int lg, uint64_t n, uint64_t m,
+    const uint8_t* y_b, const uint8_t* z_b,
+    const uint8_t* a_b, const uint8_t* b_b,
+    uint8_t* out) {
+    if (lg < 0 || lg > 20) return -1;
+    const uint64_t nm = n * m;
+    if (nm != (1ull << lg) || nm > (1u << 20)) return -1;
+    const u64 one[4] = {1, 0, 0, 0};
+    u64 um[20][4], uinv[20][4], usq[20][4], uisq[20][4];
+    u64 prefix[21][4];
+    memcpy(prefix[0], ONE_M, 32);
+    for (int i = 0; i < lg; i++) {
+        u64 t[4];
+        load4(t, u_bytes + 32 * i);
+        if (is_zero4(t)) return -1;
+        to_mont(um[i], t);
+        mont_mul(prefix[i + 1], prefix[i], um[i]);
+    }
+    // Montgomery-trick batch inversion: ONE l-2 pow chain for all u_i
+    // (per-element chains were ~75% of this function's runtime)
+    u64 allinv[4], run[4];
+    mont_pow_lm2(allinv, prefix[lg]);
+    memcpy(run, allinv, 32);
+    for (int i = lg - 1; i >= 0; i--) {
+        mont_mul(uinv[i], run, prefix[i]);
+        mont_mul(run, run, um[i]);
+    }
+    for (int i = 0; i < lg; i++) {
+        mont_mul(usq[i], um[i], um[i]);
+        mont_mul(uisq[i], uinv[i], uinv[i]);
+        u64 o[4];
+        mont_mul(o, usq[i], one);
+        store4(out + 32 * i, o);
+        mont_mul(o, uisq[i], one);
+        store4(out + 32 * (lg + i), o);
+    }
+
+    // s expansion by doubling (Montgomery domain)
+    std::vector<u64> s(4 * nm);
+    memcpy(&s[0], allinv, 32);
+    uint64_t len = 1;
+    for (int j = 0; j < lg; j++) {
+        const u64* w = usq[lg - 1 - j];
+        for (uint64_t i = 0; i < len; i++) {
+            mont_mul(&s[4 * (len + i)], &s[4 * i], w);
+        }
+        len *= 2;
+    }
+
+    u64 ym[4], zm[4], am[4], bm[4], t4[4];
+    load4(t4, y_b); to_mont(ym, t4);
+    load4(t4, z_b); to_mont(zm, t4);
+    load4(t4, a_b); to_mont(am, t4);
+    load4(t4, b_b); to_mont(bm, t4);
+    u64 yinv[4], zz[4], twom[4];
+    mont_pow_lm2(yinv, ym);
+    mont_mul(zz, zm, zm);
+    const u64 two[4] = {2, 0, 0, 0};
+    to_mont(twom, two);
+    const u64 zero4[4] = {0, 0, 0, 0};
+
+    uint8_t* g_out = out + 32 * (2 * lg);
+    uint8_t* h_out = g_out + 32 * nm;
+    u64 yinv_pow[4], zj[4], two_pow[4];
+    memcpy(yinv_pow, ONE_M, 32);
+    memcpy(zj, ONE_M, 32);
+    for (uint64_t i = 0; i < nm; i++) {
+        if (i % n == 0) {
+            memcpy(two_pow, ONE_M, 32);
+            if (i) mont_mul(zj, zj, zm);
+        }
+        // g_i = -(z + a*s_i)
+        u64 g[4], h[4], t[4];
+        mont_mul(t, am, &s[4 * i]);
+        addmod(t, t, zm);
+        submod(g, zero4, t);
+        mont_mul(g, g, one);
+        store4(g_out + 32 * i, g);
+        // h_i = z + y^-i * (zz * z2_i - b * s_inv_i)
+        u64 z2i[4], bs[4];
+        mont_mul(z2i, zj, two_pow);
+        mont_mul(z2i, z2i, zz);
+        mont_mul(bs, bm, &s[4 * (nm - 1 - i)]);
+        submod(t, z2i, bs);
+        mont_mul(t, t, yinv_pow);
+        addmod(t, t, zm);
+        mont_mul(h, t, one);
+        store4(h_out + 32 * i, h);
+
+        mont_mul(yinv_pow, yinv_pow, yinv);
+        mont_mul(two_pow, two_pow, twom);
+    }
+
+    // delta(n, m, y, z)
+    u64 sum_y[4], sum_2[4], ypow[4], tpow[4];
+    memcpy(sum_y, zero4, 32); memcpy(ypow, ONE_M, 32);
+    for (uint64_t i = 0; i < nm; i++) {
+        addmod(sum_y, sum_y, ypow);
+        mont_mul(ypow, ypow, ym);
+    }
+    memcpy(sum_2, zero4, 32); memcpy(tpow, ONE_M, 32);
+    for (uint64_t i = 0; i < n; i++) {
+        addmod(sum_2, sum_2, tpow);
+        mont_mul(tpow, tpow, twom);
+    }
+    u64 acc[4], zexp[4];
+    submod(acc, zm, zz);
+    mont_mul(acc, acc, sum_y);
+    mont_mul(zexp, zz, zm);          // z^3
+    for (uint64_t j = 0; j < m; j++) {
+        u64 term[4];
+        mont_mul(term, zexp, sum_2);
+        submod(acc, acc, term);
+        mont_mul(zexp, zexp, zm);
+    }
+    mont_mul(acc, acc, one);
+    store4(out + 32 * (2 * lg + 2 * nm), acc);
+    return 0;
+}

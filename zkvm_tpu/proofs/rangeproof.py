@@ -99,6 +99,16 @@ class RangeProof:
         )
         return proof, commitments[0]
 
+    def dyn_compressed(self, value_commitments: list[bytes]) -> list[bytes]:
+        """This proof's dynamic mega-check points, compressed, in MSM
+        order: A, S, T1, T2, L..., R..., V... (decompress in one native
+        batch across proofs — see batch_verification_job)."""
+        return (
+            [self.A, self.S, self.T_1, self.T_2]
+            + list(self.ipp_proof.L_vec) + list(self.ipp_proof.R_vec)
+            + list(value_commitments)
+        )
+
     # ----------------------------------------------------------------- verify
     def _job_parts(
         self,
@@ -108,6 +118,7 @@ class RangeProof:
         value_commitments: list[bytes],
         n: int,
         c: int | None = None,
+        decompressed: list | None = None,
     ) -> "_JobParts":
         """Replay the transcript and emit the mega-check MSM sections.
         This is the batching seam: callers combine several jobs with random
@@ -152,9 +163,6 @@ class RangeProof:
             y, z, x, w, c_rng, u_challenges = rep
             if c is None:
                 c = c_rng
-            u_sq, u_inv_sq, sv = self.ipp_proof.scalars_from_challenges(
-                u_challenges
-            )
         else:  # pure-Python strobe fallback (semantic ground truth)
             transcript.rangeproof_domain_sep(n, m)
             for V in value_commitments:
@@ -183,41 +191,47 @@ class RangeProof:
                 transcript.validate_and_append_point(b"L", Lb)
                 transcript.validate_and_append_point(b"R", Rb)
                 u_challenges.append(transcript.challenge_scalar(b"u"))
-            u_sq, u_inv_sq, sv = self.ipp_proof.scalars_from_challenges(
-                u_challenges
-            )
         a, b = self.ipp_proof.a % L, self.ipp_proof.b % L
 
         zz = z * z % L
-        minus_z = (-z) % L
 
-        # scalar assembly on ScalarVec (native 4x64 Montgomery vectors),
-        # kept PACKED all the way into the device engine (to_ints/to_bytes
-        # round trips were ~40% of the batched-verify host profile):
-        #   g_i = -z - a*s_i
-        #   h_i = z + y^-i * (z^2 * z_and_2_i - b / s_i)
-        from ..native import ScalarVec
-        s_inv_v = sv.reverse()  # 1/s_i = s_{nm-1-i}
-        y_inv = scalar.invert(y)
-        exp_y_inv_v = ScalarVec.powers(y_inv, n * m)
-        exp_2_v = ScalarVec.powers(2, n)
-        z2_parts = []
-        zexp = 1
-        for _ in range(m):  # concat_z_and_2: z^j * 2^i for party j, bit i
-            z2_parts.append(exp_2_v.scale(zexp))
-            zexp = zexp * z % L
-        z2_v = ScalarVec.concat(*z2_parts)
+        # fused per-proof scalar assembly (scalarvec.cpp): u^2/u^-2, the
+        # g/h columns (packed), and delta in ONE native call
+        from ..native import rangeproof_scalar_assembly
+        asm = rangeproof_scalar_assembly(u_challenges, n, m, y, z, a, b)
+        if asm is not None:
+            u_sq, u_inv_sq, g_v, h_v, delta_val = asm
+        else:
+            # ScalarVec-chain fallback (semantic ground truth):
+            #   g_i = -z - a*s_i
+            #   h_i = z + y^-i * (z^2 * z_and_2_i - b / s_i)
+            from ..native import ScalarVec
+            u_sq, u_inv_sq, sv = self.ipp_proof.scalars_from_challenges(
+                u_challenges
+            )
+            s_inv_v = sv.reverse()  # 1/s_i = s_{nm-1-i}
+            y_inv = scalar.invert(y)
+            exp_y_inv_v = ScalarVec.powers(y_inv, n * m)
+            exp_2_v = ScalarVec.powers(2, n)
+            z2_parts = []
+            zexp = 1
+            for _ in range(m):  # concat_z_and_2: z^j * 2^i, party j, bit i
+                z2_parts.append(exp_2_v.scale(zexp))
+                zexp = zexp * z % L
+            z2_v = ScalarVec.concat(*z2_parts)
 
-        g_v = sv.axpb((-a) % L, minus_z)
-        h_v = (
-            z2_v.scale(zz).sub(s_inv_v.scale(b)).mul(exp_y_inv_v)
-            .axpb(1, z)
-        )
+            g_v = sv.axpb((-a) % L, (-z) % L)
+            h_v = (
+                z2_v.scale(zz).sub(s_inv_v.scale(b)).mul(exp_y_inv_v)
+                .axpb(1, z)
+            )
+            delta_val = delta(n, m, y, z)
         value_commitment_scalars = [
             c * zz % L * ze % L for ze in powers(z, m)
         ]
         basepoint_scalar = (
-            w * ((self.t_x - a * b) % L) + c * ((delta(n, m, y, z) - self.t_x) % L)
+            w * ((self.t_x - a * b) % L)
+            + c * ((delta_val - self.t_x) % L)
         ) % L
 
         head = (
@@ -226,12 +240,12 @@ class RangeProof:
             + list(u_inv_sq)
         )
         bb_s = (-self.e_blinding - c * self.t_x_blinding) % L
-        from ..oracle.ristretto import decompress_many
-        dyn = decompress_many(
-            [self.A, self.S, self.T_1, self.T_2]
-            + list(self.ipp_proof.L_vec) + list(self.ipp_proof.R_vec)
-            + list(value_commitments)
-        )  # one native batch call: the host profile is decompress-dominated
+        if decompressed is None:
+            from ..oracle.ristretto import decompress_many
+            decompressed = decompress_many(self.dyn_compressed(
+                value_commitments
+            ))  # batch callers pre-decompress ALL proofs in one call
+        dyn = decompressed
         k = 4 + len(self.ipp_proof.L_vec) + len(self.ipp_proof.R_vec)
         return _JobParts(
             head=head, bb_s=bb_s, b_s=basepoint_scalar, g_v=g_v, h_v=h_v,
@@ -369,13 +383,26 @@ def batch_verification_job(
     dyn_chunks: list[ScalarVec] = []
     dyn_points: list[RistrettoPoint] = []
 
+    # ONE threaded native decompress for every proof's dynamic points
+    # (per-proof calls ran single-threaded at ~17 points each)
+    from ..oracle.ristretto import decompress_many
+    all_compressed: list[bytes] = []
+    offsets = [0]
+    for proof, vcs in zip(proofs, value_commitments):
+        all_compressed.extend(proof.dyn_compressed(vcs))
+        offsets.append(len(all_compressed))
+    all_dyn = decompress_many(all_compressed)
+
     import hashlib
     for idx, (proof, transcript, vcs) in enumerate(
         zip(proofs, transcripts, value_commitments)
     ):
         m = len(vcs)
         nm = n * m
-        p = proof._job_parts(bp_gens, pc_gens, transcript, vcs, n)
+        p = proof._job_parts(
+            bp_gens, pc_gens, transcript, vcs, n,
+            decompressed=all_dyn[offsets[idx]: offsets[idx + 1]],
+        )
         # random per-proof weight
         weight = scalar.from_bytes_mod_order_wide(
             hashlib.sha3_512(entropy + idx.to_bytes(8, "little")
