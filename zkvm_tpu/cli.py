@@ -95,6 +95,75 @@ def _cmd_verify(args):
     }))
 
 
+def _cmd_node_demo(args):
+    """Two-node blockchain demo: A issues a token and mines, B cold-syncs
+    over the wire protocol, a tx relays via short ids, B mines it, A
+    catches up (the role of the upstream actix demo node)."""
+    import random
+
+    from .apps import Token, issue_program
+    from .chain import BlockchainState
+    from .chain.block import block_id
+    from .chain.node import Node, sync
+    from .crypto.starsig import VerificationKey
+    from .oracle import scalar as sc
+    from .proofs.generators import BulletproofGens
+    from .vm import TxHeader, build_tx
+    from .vm.constraints import Commitment
+    from .vm.contract import parse_contract
+    from .vm.scalar_witness import ScalarWitness
+    from .vm.types import Value
+
+    r = random.Random(args.seed)
+    bp = BulletproofGens(1024)
+    secret = sc.from_bytes_mod_order_wide(r.getrandbits(512).to_bytes(64, "little"))
+    pred = VerificationKey.from_secret(secret).point
+    header = TxHeader(1, 0, 2**63 - 1)
+
+    a = Node(BlockchainState.make_initial(timestamp_ms=1000), bp)
+    b = Node(BlockchainState.make_initial(timestamp_ms=1000), bp)
+
+    token = Token(pred, b"cli-demo")
+    prog, out_qty, out_flv = issue_program(token, args.qty, pred)
+    tx, v = build_tx(prog, header, bp, {pred: secret})
+    a.submit_tx(tx)
+    blk = a.make_block(timestamp_ms=2000)
+
+    from .constants import L
+    out_bytes = v.outputs[0]
+    for i in range(args.blocks - 1):
+        c = parse_contract(out_bytes)
+        c.payload = [Value(out_qty, out_flv)]
+        nq = Commitment.blinded(out_qty.ensure_open()[0], r.randrange(L))
+        nf = Commitment.blinded(out_flv.ensure_open()[0], r.randrange(L))
+        from .vm import Instruction
+        prog2 = [
+            Instruction("push", data=out_bytes, witness=c),
+            Instruction("input"), Instruction("signtx"),
+            Instruction("push", data=nf.point, witness=nf),
+            Instruction("push", data=nq.point, witness=nq),
+            Instruction("cloak", k=1, n=1),
+            Instruction("push", data=pred), Instruction("output", k=1),
+        ]
+        tx, v = build_tx(prog2, header, bp, {pred: secret})
+        a.submit_tx(tx)
+        a.make_block(timestamp_ms=3000 + i)
+        out_bytes = v.outputs[0]
+        out_qty, out_flv = nq, nf
+
+    rounds = sync(b, a)
+    ok = block_id(a.tip) == block_id(b.tip)
+    print(json.dumps({
+        "height": b.tip.height,
+        "sync_rounds": rounds,
+        "tips_agree": ok,
+        "utxoroot": b.state.utreexo.state_hash().hex(),
+        "live_utxos": len(b.utxos.proofs),
+    }))
+    if not ok:
+        sys.exit(1)
+
+
 def _cmd_bench_msm(args):
     os.environ["BENCH_LOG_N"] = str(args.log_n)
     os.environ["BENCH_WBITS"] = str(args.wbits)
@@ -124,6 +193,12 @@ def main(argv=None):
     ver = sub.add_parser("verify")
     ver.add_argument("--tx-file", required=True)
     ver.set_defaults(fn=_cmd_verify)
+
+    nd = sub.add_parser("node-demo")
+    nd.add_argument("--blocks", type=int, default=3)
+    nd.add_argument("--qty", type=int, default=100)
+    nd.add_argument("--seed", type=int, default=7)
+    nd.set_defaults(fn=_cmd_node_demo)
 
     bm = sub.add_parser("bench-msm")
     bm.add_argument("--log-n", type=int, default=16)
