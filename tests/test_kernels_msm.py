@@ -183,3 +183,29 @@ def test_jax_engine_end_to_end_rangeproof():
     assert res.returncode == 0 and "ENGINE-RANGEPROOF-OK" in res.stdout, (
         res.stderr[-2000:]
     )
+
+
+def test_engine_msm_start_finish_matches_msm():
+    """The pipelined seam (msm_start + msm_finish_is_identity) must agree
+    with the one-shot msm path, including the ScalarVec input form."""
+    from zkvm_tpu.constants import P
+    from zkvm_tpu.native import ScalarVec
+
+    r = random.Random(88)
+    pts = _rand_points(24, seed=88)
+    ks = [r.randrange(L) for _ in range(24)]
+    eng = JaxEngine(min_msm_size=4, wbits=8, pipeline="pallas")
+    expect = eng.msm(ks, pts)
+    got = eng.msm_finish_is_identity(eng.msm_start(ks, pts))
+    assert got == expect.is_identity() is False
+
+    # identity case: s*P + s*(-P) pairs, scalars supplied as a ScalarVec
+    from zkvm_tpu.oracle import ristretto as rst
+    pairs, sc = [], []
+    for i in range(0, 24, 2):
+        s = r.randrange(L)
+        pairs += [pts[i], rst.RistrettoPoint(oe.neg(pts[i].ep))]
+        sc += [s, s]
+    assert eng.msm_finish_is_identity(
+        eng.msm_start(ScalarVec.from_ints(sc), pairs)
+    )
