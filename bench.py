@@ -430,7 +430,7 @@ def _child_eff():
     })
 
 
-def _host_fallback():
+def _host_fallback(extra=None):
     """Prove/verify wall clock through the host engine (always works)."""
     from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
     from zkvm_tpu.proofs.rangeproof import RangeProof
@@ -451,9 +451,11 @@ def _host_fallback():
         "value": round(vps, 2),
         "unit": "verifies/s/chip",
         "vs_baseline": round(vps / BASELINE_VERIFIES_PER_SEC, 3),
-        "note": "host(oracle-engine) fallback measurement",
+        "note": "host(native-engine) fallback measurement - device "
+                "unreachable",
+        **(extra or {}),
     }))
-    print("# host(oracle-engine) fallback measurement", file=sys.stderr)
+    print("# host(native-engine) fallback measurement", file=sys.stderr)
 
 
 def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None):
@@ -485,6 +487,16 @@ def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None):
     return None
 
 
+def _child_probe():
+    """Tiny device op proving the chip is reachable."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
+    _materialize(x)
+    _emit({"mode": "probe", "platform": jax.devices()[0].platform})
+
+
 def main():
     mode = os.environ.get("_BENCH_CHILD")
     if mode == "msm":
@@ -497,8 +509,20 @@ def main():
         return _child_cloak()
     if mode == "eff":
         return _child_eff()
+    if mode == "probe":
+        return _child_probe()
 
     out = {}
+
+    # the axon tunnel can die outright (observed mid-round-2: connection
+    # refused, then hangs); probe once with a short timeout instead of
+    # letting every device child burn its full attempt timeout
+    probe = _run_child("probe", timeout=180)
+    device_ok = bool(probe) and probe.get("platform") in ("tpu", "axon")
+    if not device_ok:
+        print("# device probe failed: skipping device children",
+              file=sys.stderr)
+        os.environ["BENCH_SKIP_SWEEP"] = "1"
 
     # 1) device MSM sweep (+ cold/warm compile demo on the first size)
     sweep = []
@@ -535,6 +559,8 @@ def main():
     value = None
     batches = [int(s) for s in
                os.environ.get("BENCH_NB", "256,1024").split(",") if s]
+    if not device_ok:
+        batches = []
     best_batch = None
     for nb in batches:
         d = _run_child("batch", str(nb))
@@ -596,7 +622,7 @@ def main():
             }
 
     if value is None:
-        _host_fallback()
+        _host_fallback(out)
         return
     print(json.dumps({
         "metric": "rangeproof_verifies_per_sec_per_chip",
