@@ -332,9 +332,15 @@ def _bucket_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
 # so a VMEM scratch carries the running segment across grid steps), plus a
 # tiny cross-lane roll-scan and a <=1-add-per-lane fixup.
 
-SEQ_LANES = 512   # M: lanes per window, each owning a contiguous run
-SEQ_BLOCK = 8     # K-positions consumed per grid step
-SCAN_TILE = 128   # lanes per grid step
+# Tile parameters, env-overridable for on-chip sweeps (bench/seq_sweep.py);
+# the defaults are the best measured v5e configuration.  Constraints:
+# SCAN_TILE | SEQ_LANES; SEQ_LANES*SEQ_BLOCK | n (pad_batch_lm guarantees);
+# VMEM per scan block ~ NLIMBS*SEQ_BLOCK*SCAN_TILE*4B * ~12 live tiles.
+import os as _os
+
+SEQ_LANES = int(_os.environ.get("ZKVM_SEQ_LANES", "512"))   # M lanes/window
+SEQ_BLOCK = int(_os.environ.get("ZKVM_SEQ_BLOCK", "8"))     # K-pos per step
+SCAN_TILE = int(_os.environ.get("ZKVM_SCAN_TILE", "128"))   # lanes per step
 FOLD_LANES = 128  # bucket-fold lanes per window
 FOLD_BLOCK = 8    # buckets consumed per fold grid step
 FOLD_TILE = 512   # fold lanes per grid step (flattened nw*FOLD_LANES)
