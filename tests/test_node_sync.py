@@ -204,3 +204,35 @@ def test_unknown_sync_point():
     a = Node(_genesis(), BP)
     with pytest.raises(NodeError):
         a.handle_message(encode_message(GetBlocks(after=b"\x99" * 32)))
+
+
+def test_node_snapshot_restart():
+    """A node restarted from its serialized snapshot keeps mining and
+    serving sync (upstream's checkpoint use-case at the node level);
+    a snapshot with a stale utxo proof is rejected."""
+    a = Node(_genesis(), BP)
+    tx1, v1, coms = _issue_tx(77, b"persist-token")
+    a.submit_tx(tx1)
+    a.make_block(timestamp_ms=2000)
+
+    blob = a.serialize()
+    a2 = Node.deserialize(blob, BP)
+    assert block_id(a2.tip) == block_id(a.tip)
+    assert a2.utxos.proofs == a.utxos.proofs
+
+    # restarted node mines the next block
+    tx2, v2, _ = _spend_tx(v1.outputs[0], *coms)
+    a2.submit_tx(tx2)
+    a2.make_block(timestamp_ms=3000)
+    assert a2.tip.height == 3
+
+    # and serves a cold peer
+    b = Node(_genesis(), BP)
+    sync(b, a2)
+    assert block_id(b.tip) == block_id(a2.tip)
+
+    # tampered snapshot (stale/corrupt proof) must be rejected
+    bad = bytearray(blob)
+    bad[-1] ^= 0x01
+    with pytest.raises(Exception):
+        Node.deserialize(bytes(bad), BP)

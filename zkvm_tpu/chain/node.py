@@ -102,6 +102,47 @@ class Node:
         )
         return self._apply(block, new_state, catchup, verified)
 
+    # -------------------------------------------------------- persistence
+    def serialize(self) -> bytes:
+        """Durable node snapshot: chain state + block store + utxo-proof
+        index (the mempool is intentionally volatile, as upstream).
+
+        Trust model: a snapshot is the node's OWN local storage.  The
+        utxoroot<->forest binding and per-proof verification catch
+        state/index corruption; plain header fields (prev, timestamps)
+        are trusted, exactly as upstream's persisted BlockchainState."""
+        from ..vm.encoding import Writer
+        w = Writer()
+        w.write_prefixed_bytes(self.state.serialize())
+        heights = sorted(self.blocks)
+        w.write_u32(len(heights))
+        for h in heights:
+            w.write_u64(h)
+            w.write_prefixed_bytes(self.blocks[h].to_bytes())
+        w.write_u32(len(self.utxos.proofs))
+        for cid in sorted(self.utxos.proofs):
+            w.write_bytes(cid)
+            w.write_prefixed_bytes(self.utxos.proofs[cid].serialize())
+        return w.to_bytes()
+
+    @staticmethod
+    def deserialize(data: bytes, bp_gens: BulletproofGens) -> "Node":
+        from ..vm.encoding import Reader
+        r = Reader(data)
+        state = BlockchainState.deserialize(r.read_prefixed_bytes())
+        node = Node(state, bp_gens)
+        for _ in range(r.read_u32()):
+            h = r.read_u64()
+            node.blocks[h] = Block.from_bytes(r.read_prefixed_bytes())
+        for _ in range(r.read_u32()):
+            cid = r.read_u8x32()
+            p = UtreexoProof.deserialize(r.read_prefixed_bytes())
+            node.state.utreexo.verify(cid, p)  # reject stale snapshots
+            node.utxos.proofs[cid] = p
+        if not r.done():
+            raise NodeError("trailing bytes in node snapshot")
+        return node
+
     # ------------------------------------------------------- message loop
     def start_sync(self) -> bytes:
         """Opening message to a fresh peer."""
