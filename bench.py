@@ -375,7 +375,7 @@ def _child_eff():
     from zkvm_tpu.oracle.ristretto import RistrettoPoint
     from zkvm_tpu.parallel.sharded_msm import sharded_msm
 
-    n, wbits = 1 << 12, 8
+    n, wbits = 1 << int(os.environ.get('BENCH_EFF_LOG_N', '11')), 8
     r = random.Random(11)
     base = [
         RistrettoPoint.from_uniform_bytes(
