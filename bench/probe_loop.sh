@@ -1,0 +1,25 @@
+#!/bin/bash
+# Background device-availability watcher: tries to claim the chip and run a
+# trivial jit every few minutes, logging to /tmp/probe_loop.log.  The axon
+# tunnel is known to stall in init for unbounded time (see memory notes), so
+# each attempt runs under a hard timeout in its own process.
+LOG=/tmp/probe_loop.log
+echo "probe loop start $(date +%H:%M:%S)" >> "$LOG"
+while true; do
+  timeout 420 python - <<'EOF' >> "$LOG" 2>&1
+import time
+t0 = time.time()
+import jax, numpy as np, jax.numpy as jnp
+ds = jax.devices()
+x = jnp.ones((128, 128), jnp.float32)
+y = np.asarray(jax.jit(lambda a: a @ a)(x))
+print(f"PROBE_OK {time.strftime('%H:%M:%S')} init+run {time.time()-t0:.1f}s "
+      f"{ds[0].platform}", flush=True)
+EOF
+  if grep -q PROBE_OK "$LOG"; then
+    echo "device up at $(date +%H:%M:%S); watcher exiting" >> "$LOG"
+    exit 0
+  fi
+  echo "attempt failed at $(date +%H:%M:%S); retry in 180s" >> "$LOG"
+  sleep 180
+done

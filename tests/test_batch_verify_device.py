@@ -1,0 +1,205 @@
+"""Fused device batch-verification path (kernels/batch_verify_device.py):
+digit machinery round trips, scalar-synthesis parity vs the host ground
+truth, end-to-end accept/reject, and the resident generator cache.
+
+Upstream semantics under test: range_proof/mod.rs verify_multiple +
+inner_product_proof.rs verification_scalars (the s-vector / g/h columns).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from zkvm_tpu.constants import L
+from zkvm_tpu.kernels import scalarmod as sm
+from zkvm_tpu.kernels.limbs import ints_to_limbs, limbs_to_int
+from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+from zkvm_tpu.proofs.rangeproof import RangeProof
+from zkvm_tpu.proofs.transcript import ProofTranscript
+
+PC_GENS = PedersenGens()
+BP_GENS = BulletproofGens(64, 4)
+
+
+def test_signed_digits13_roundtrip(rng):
+    import jax.numpy as jnp
+    vals = ([rng.randrange(1 << 260) for _ in range(32)]
+            + [0, 1, L - 1, L, 2 * L, (1 << 260) - 1, 1 << 252, (1 << 253) + 5])
+    limbs = jnp.asarray(ints_to_limbs(vals))
+    digits = np.asarray(sm.signed_digits13(limbs))
+    assert digits.min() >= -(1 << 12) and digits.max() < (1 << 12)
+    for v, row in zip(vals, digits):
+        got = sum(int(d) << (13 * i) for i, d in enumerate(row))
+        assert got % L == v % L
+
+
+def test_digits_to_words_roundtrip(rng):
+    import jax.numpy as jnp
+    vals = [rng.randrange(1 << 260) for _ in range(16)] + [0, L - 1, L + 7]
+    limbs = jnp.asarray(ints_to_limbs(vals))
+    d = sm.partial_reduce_digits(limbs)
+    words = np.asarray(sm.digits_to_words(d))
+    for v, row in zip(vals, words):
+        got = sum(int(w) << (32 * k) for k, w in enumerate(row))
+        assert got % L == v % L
+        assert got < 1 << 254
+
+
+def test_synthesize_parity(rng):
+    """Device scalar synthesis == the host g/h/head formulas, per proof and
+    accumulated (the verification_scalars ground truth)."""
+    import jax.numpy as jnp
+
+    from zkvm_tpu.kernels.batch_verify_device import (
+        _synthesize, pack_verification_params,
+    )
+    from zkvm_tpu.oracle import scalar
+
+    n, m, nb = 8, 2, 3
+    nm, lg = n * m, 4
+    jobs, expected_g, expected_h, expected_dyn = [], [0] * nm, [0] * nm, []
+    for _ in range(nb):
+        y = rng.randrange(1, L)
+        z = rng.randrange(1, L)
+        x = rng.randrange(1, L)
+        c = rng.randrange(1, L)
+        a = rng.randrange(L)
+        b = rng.randrange(L)
+        wt = rng.randrange(1, L)
+        u = [rng.randrange(1, L) for _ in range(lg)]
+        u_inv = scalar.batch_invert(u)
+        allinv = 1
+        for ui in u_inv:
+            allinv = allinv * ui % L
+        zz = z * z % L
+        jobs.append({
+            "wz": wt * z % L, "wz_neg": (-wt * z) % L,
+            "wa_neg": (-wt * a) % L, "wzz": wt * zz % L,
+            "wb_neg": (-wt * b) % L, "y_inv": scalar.invert(y), "z": z,
+            "allinv": allinv, "wt": wt, "wt_x": wt * x % L,
+            "wt_cx": wt * c % L * x % L,
+            "wt_cxx": wt * c % L * x % L * x % L,
+            "wczz": wt * c % L * zz % L,
+            "u_sq": [ui * ui % L for ui in u],
+            "u_inv_sq": [ui * ui % L for ui in u_inv],
+        })
+        # host ground truth: s expansion, g/h columns, head scalars
+        s = [allinv]
+        for j in range(lg):
+            s += [si * (u[lg - 1 - j] ** 2) % L for si in s[: 1 << j]]
+        assert len(s) == nm
+        y_inv = scalar.invert(y)
+        for i in range(nm):
+            gi = (-z - a * s[i]) % L
+            z2 = pow(z, i // n, L) * (1 << (i % n)) % L
+            hi = (z + pow(y_inv, i, L)
+                  * ((zz * z2 - b * s[nm - 1 - i]) % L)) % L
+            expected_g[i] = (expected_g[i] + wt * gi) % L
+            expected_h[i] = (expected_h[i] + wt * hi) % L
+        head = ([wt, wt * x % L, wt * c % L * x % L,
+                 wt * c % L * x % L * x % L]
+                + [wt * ui * ui % L for ui in u]
+                + [wt * ui * ui % L for ui in u_inv]
+                + [wt * c % L * zz % L * pow(z, j, L) % L for j in range(m)])
+        expected_dyn.append([v % L for v in head])
+
+    params = sm.decode_words_last(jnp.asarray(pack_verification_params(jobs)))
+    gh, dyn = _synthesize(params, n, m, lg)
+    gh = np.asarray(gh)
+    dyn = np.asarray(dyn)
+    for i in range(nm):
+        assert limbs_to_int(gh[i]) % L == expected_g[i]
+        assert limbs_to_int(gh[nm + i]) % L == expected_h[i]
+    for p in range(nb):
+        got = [limbs_to_int(dyn[p, j]) % L for j in range(dyn.shape[1])]
+        assert got == expected_dyn[p]
+
+
+def _make_proofs(nb: int, n: int, m: int, seed: int):
+    r = random.Random(seed)
+    proofs, transcripts, vcs = [], [], []
+    for _ in range(nb):
+        values = [r.randrange(1 << n) for _ in range(m)]
+        blindings = [r.randrange(L) for _ in range(m)]
+        proof, commitments = RangeProof.prove_multiple(
+            BP_GENS, PC_GENS, ProofTranscript(b"fused-batch"),
+            values, blindings, n,
+        )
+        proofs.append(proof)
+        transcripts.append(ProofTranscript(b"fused-batch"))
+        vcs.append(commitments)
+    return proofs, transcripts, vcs
+
+
+@pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2)])
+def test_batch_verify_device_end_to_end(n, m, nb):
+    from zkvm_tpu.kernels.batch_verify_device import batch_verify_device
+
+    proofs, transcripts, vcs = _make_proofs(nb, n, m, seed=n + m)
+    assert batch_verify_device(
+        proofs, BP_GENS, PC_GENS, transcripts, vcs, n
+    )
+
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.t_x = (bad.t_x + 1) % L
+    assert not batch_verify_device(
+        [bad] + proofs[1:], BP_GENS, PC_GENS,
+        [ProofTranscript(b"fused-batch") for _ in proofs], vcs, n,
+    )
+
+
+def test_batch_verify_device_decompress_on_device():
+    """The dev_decompress variant (Pallas ristretto decode, raw 32-byte
+    uploads) must accept valid batches and turn an invalid encoding into a
+    clean False via the folded validity flag."""
+    from zkvm_tpu.kernels.batch_verify_device import batch_verify_device
+
+    proofs, transcripts, vcs = _make_proofs(2, 8, 1, seed=42)
+    assert batch_verify_device(
+        proofs, BP_GENS, PC_GENS, transcripts, vcs, 8, dev_decompress=True
+    )
+    # corrupt one L commitment into a non-canonical encoding (still 32
+    # bytes, passes the replay, fails device decode validation)
+    from zkvm_tpu.constants import P
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.ipp_proof.L_vec = list(bad.ipp_proof.L_vec)
+    bad.ipp_proof.L_vec[0] = (P + 3).to_bytes(32, "little")
+    assert not batch_verify_device(
+        [bad] + proofs[1:], BP_GENS, PC_GENS,
+        [ProofTranscript(b"fused-batch") for _ in proofs], vcs, 8,
+        dev_decompress=True,
+    )
+
+
+def test_static_gens_cache():
+    from zkvm_tpu.kernels.batch_verify_device import static_gens_words
+
+    w1 = static_gens_words(BP_GENS, PC_GENS, 8, 1)
+    w2 = static_gens_words(BP_GENS, PC_GENS, 8, 1)
+    assert w1 is w2  # uploaded once, device-resident
+    w3 = static_gens_words(BP_GENS, PC_GENS, 8, 2)
+    assert w3 is not w1 and w3.shape == (4, 8, 2 + 2 * 16)
+
+
+def test_jax_engine_routes_batch_verify():
+    """batch_verify through the installed JaxEngine must take the fused
+    path (and still reject a tampered batch)."""
+    from zkvm_tpu.kernels.engine import JaxEngine
+    from zkvm_tpu.proofs.engine import set_engine
+    from zkvm_tpu.proofs.errors import ProofError
+    from zkvm_tpu.proofs.rangeproof import batch_verify
+
+    proofs, transcripts, vcs = _make_proofs(2, 16, 1, seed=9)
+    prev = set_engine(JaxEngine())
+    try:
+        batch_verify(proofs, BP_GENS, PC_GENS, transcripts, vcs, 16)
+        bad = RangeProof.from_bytes(proofs[0].to_bytes())
+        bad.e_blinding = (bad.e_blinding + 1) % L
+        with pytest.raises(ProofError):
+            batch_verify(
+                [bad] + proofs[1:], BP_GENS, PC_GENS,
+                [ProofTranscript(b"fused-batch") for _ in proofs], vcs, 16,
+            )
+    finally:
+        set_engine(prev)

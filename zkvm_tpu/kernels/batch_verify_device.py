@@ -1,0 +1,436 @@
+"""Fused device path for batched rangeproof verification.
+
+Upstream seam: bulletproofs/src/range_proof/mod.rs verify_multiple +
+inner_product_proof.rs verification_scalars.  Upstream expands the s-vector
+and the g/h generator-column scalars on the CPU per proof; round 2 did the
+same in native C++ (~100 µs/proof of the ~324 µs/proof host floor) and
+re-uploaded the static generator points every call.  This module moves both
+onto the chip:
+
+  * The static generator columns [B_blinding, B] + G(n,m) + H(n,m) are
+    uploaded ONCE per (bp_gens, pc_gens, n, m) as canonical u32 words and
+    cached device-resident (VERDICT r2 #3; upstream keeps gens in memory,
+    generators.rs).
+  * The per-proof g/h scalars — 2·n·m per proof, the bulk of scalar
+    assembly — are synthesized ON DEVICE from ~20 challenge scalars per
+    proof with the mod-ℓ limb kernels (kernels/scalarmod.py), including the
+    random-linear-combination accumulation across proofs (VERDICT r2 #4).
+  * The dynamic-point scalars (A/S/T1/T2/L/R/V heads) are synthesized on
+    device too, so the host uploads only challenges + decompressed points.
+
+The host keeps: transcript replay (native strobe), batch inversions,
+per-proof weight hashes, and a handful of native scalar muls — measured
+~50 µs/proof vs ~324 µs for the round-2 path.
+
+Everything compiles to ONE jit: decode words → synthesize scalars →
+signed-digit recode → Pippenger window totals (kernels/pallas_msm.py).
+The window width comes from best_wbits; at wbits=13 (optimal across most
+of the batch-verify size range) the recode is free because the digit index
+IS the radix-2^13 limb index.
+"""
+
+from __future__ import annotations
+
+import functools
+import weakref
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import L, NLIMBS
+from . import scalarmod as sm
+from .pallas_msm import decode_words_lm, window_totals
+from .point import PointBatch
+
+# 2^(i mod n) for the concat_z_and_2 column never exceeds 2^63 < ℓ, so the
+# limb table is exact without reduction.
+_ONE = np.zeros(NLIMBS, np.int32)
+_ONE[0] = 1
+
+
+def _pow2_limbs(n: int, nm: int) -> np.ndarray:
+    from .limbs import int_to_limbs
+    return np.stack([int_to_limbs(1 << (i % n)) for i in range(nm)]).astype(
+        np.int32
+    )
+
+
+def _bit_select(i_bits: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """where(bit, factor, 1) over (nm,) bits and (nb, 20) factors ->
+    (nb, nm, 20)."""
+    one = jnp.asarray(_ONE)
+    return jnp.where(
+        i_bits[None, :, None] != 0, factor[:, None, :], one[None, None, :]
+    )
+
+
+def _pow_expand(base_2k: list[jnp.ndarray], nm: int) -> jnp.ndarray:
+    """Π_j base_2k[j]^{bit_j(i)} for i = 0..nm-1: log-depth expansion of a
+    power/s-vector (the ScalarVec doubling expansion, ipp.py
+    scalars_from_challenges, as lg(nm) batched mod-ℓ muls)."""
+    i = jnp.arange(nm, dtype=jnp.int32)
+    acc = None
+    for j, b in enumerate(base_2k):
+        f = _bit_select((i >> j) & 1, b)
+        acc = f if acc is None else sm.mul(acc, f)
+    return acc
+
+
+# Param channel layout (canonical u32 words, host-packed; see
+# pack_verification_params).  All values are pre-negated/pre-multiplied on
+# the host so the device chain stays nonnegative.
+#   0 wz      wt·z            5 y_inv       9 wt_cx    (wt·c·x)
+#   1 wz_neg  ℓ-wt·z          6 z          10 wt_cxx   (wt·c·x²)
+#   2 wa_neg  ℓ-wt·a          7 allinv     11 wczz     (wt·c·z²)
+#   3 wzz     wt·z²           8 wt         12.. u_sq[lg], u_inv_sq[lg]
+#   4 wb_neg  ℓ-wt·b
+N_FIXED = 12
+
+
+def _synthesize(params: jnp.ndarray, n: int, m: int, lg: int):
+    """params (nb, C, 20) int32 limbs -> (static column scalars (2nm, 20),
+    dyn head scalars (nb, k, 20)) — all loose limbs, value-correct mod ℓ."""
+    nm = n * m
+    ch = [params[:, i] for i in range(N_FIXED)]
+    (wz, wz_neg, wa_neg, wzz, wb_neg, y_inv, z, allinv, wt, wt_cx, wt_cxx,
+     wczz) = ch
+    u_sq = [params[:, N_FIXED + j] for j in range(lg)]
+    u_inv_sq = [params[:, N_FIXED + lg + j] for j in range(lg)]
+    wt_x = params[:, N_FIXED + 2 * lg]  # wt·x rides after the u channels
+
+    # s vector: s_i = allinv · Π_j u_sq[lg-1-j]^{bit_j(i)}  (nb, nm, 20)
+    s = sm.mul(_pow_expand([u_sq[lg - 1 - j] for j in range(lg)], nm),
+               allinv[:, None, :])
+    s_inv = s[:, ::-1]  # 1/s_i = s_{nm-1-i}
+
+    # y^{-i} powers: lg(nm) squarings then the same expansion
+    y2 = [y_inv]
+    for _ in range(max(0, lg - 1)):
+        y2.append(sm.mul(y2[-1], y2[-1]))
+    yp = _pow_expand(y2, nm)
+
+    # z^j per party (j = i div n), expanded over parties then repeated
+    if m > 1:
+        lgm = m.bit_length() - 1
+        z2k = [z]
+        for _ in range(max(0, lgm - 1)):
+            z2k.append(sm.mul(z2k[-1], z2k[-1]))
+        zpow = _pow_expand(z2k, m)                      # (nb, m, 20)
+    else:
+        zpow = jnp.broadcast_to(jnp.asarray(_ONE),
+                                params.shape[:1] + (1, NLIMBS))
+
+    # g_i = -wt·z - wt·a·s_i
+    g = wz_neg[:, None, :] + sm.mul(wa_neg[:, None, :], s)
+
+    # h_i = wt·z + y^{-i}·(wt·z²·z^(i div n)·2^(i mod n) - wt·b·s_inv_i)
+    a_col = jnp.repeat(sm.mul(wzz[:, None, :], zpow), n, axis=1)
+    t1 = sm.mul(a_col, jnp.asarray(_pow2_limbs(n, nm))[None])
+    t2 = sm.mul(wb_neg[:, None, :], s_inv)
+    h = wz[:, None, :] + sm.mul(yp, sm.add(t1, t2))
+
+    g_col = sm.accumulate(g, axis=0)                    # (nm, 20)
+    h_col = sm.accumulate(h, axis=0)
+
+    # dyn head scalars, MSM order A,S,T1,T2,L...,R...,V... (dyn_compressed)
+    wt_usq = [sm.mul(wt[:, None, :], u[:, None, :]) for u in u_sq]
+    wt_uinv = [sm.mul(wt[:, None, :], u[:, None, :]) for u in u_inv_sq]
+    v_s = sm.mul(wczz[:, None, :], zpow)                # (nb, m, 20)
+    dyn = jnp.concatenate(
+        [wt[:, None, :], wt_x[:, None, :], wt_cx[:, None, :],
+         wt_cxx[:, None, :]] + wt_usq + wt_uinv + [v_s], axis=1,
+    )                                                   # (nb, 4+2lg+m, 20)
+    return jnp.concatenate([g_col, h_col], axis=0), dyn
+
+
+def _padded_size(total: int) -> int:
+    """Mirror pack_words' padding: multiples of the seq tile above it,
+    powers of two below."""
+    from .pallas_msm import SEQ_BLOCK, SEQ_LANES
+    tile = SEQ_LANES * SEQ_BLOCK
+    if total > tile:
+        return -(-total // tile) * tile
+    size = 1
+    while size < max(16, total):
+        size *= 2
+    return size
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def batch_msm_totals(static_words: jnp.ndarray,   # (4, 8, 2+2nm) u32 resident
+                     dyn_words: jnp.ndarray,      # see dev_decompress
+                     params_words: jnp.ndarray,   # (nb, C, 8) u32
+                     bbB_words: jnp.ndarray,      # (2, 8) u32
+                     n: int, m: int, lg: int, wbits: int,
+                     interpret: bool = False,
+                     dev_decompress: bool = False) -> jnp.ndarray:
+    """The whole batched mega-check MSM on device: returns packed window
+    totals (4, NLIMBS, nw+1) for the host Horner combine, with the last
+    column broadcasting the point-validity flag.  Point order:
+    [B_blinding, B] + G + H + per-proof dyn; scalar rows match.
+
+    dyn_words: (4, 8, D) u32 extended coords when dev_decompress=False;
+    (8, D) u32 raw 32-byte encodings when True (decoded on device by
+    kernels/pallas_decompress.py — upload drops 128 -> 32 B/point and the
+    host sheds its native decompress entirely)."""
+    from .msm import num_windows
+
+    nm = n * m
+    nb = params_words.shape[0]
+    k = 4 + 2 * lg + m
+    assert dyn_words.shape[-1] == nb * k
+
+    params = sm.decode_words_last(params_words)
+    gh_col, dyn_sc = _synthesize(params, n, m, lg)
+    bbB = sm.decode_words_last(bbB_words)
+    scalars = jnp.concatenate(
+        [bbB, gh_col, dyn_sc.reshape(nb * k, NLIMBS)], axis=0
+    )
+    if wbits == 13:
+        digits = sm.signed_digits13(scalars)     # digit index == limb index
+    else:
+        from .pallas_msm import recode_digits_device
+        words = sm.digits_to_words(sm.partial_reduce_digits(scalars))
+        digits = recode_digits_device(words.T, wbits, num_windows(wbits))
+
+    if dev_decompress:
+        from .pallas_decompress import decompress_points
+        coords, ok_vec = decompress_points(dyn_words, interpret)
+        ok = jnp.min(ok_vec)
+        pts = PointBatch(*(
+            jnp.concatenate([decode_words_lm(static_words[i]), coords[i]],
+                            axis=1)
+            for i in range(4)
+        ))
+    else:
+        ok = jnp.int32(1)
+        pts = PointBatch(*(
+            jnp.concatenate(
+                [decode_words_lm(static_words[i]),
+                 decode_words_lm(dyn_words[i])], axis=1)
+            for i in range(4)
+        ))
+
+    # pad to the seq-pipeline tile (identity points, zero digits)
+    from .pallas_msm import identity_lm
+    total = 2 + 2 * nm + nb * k
+    size = _padded_size(total)
+    if size != total:
+        pad = size - total
+        ident = identity_lm((pad,))
+        pts = PointBatch(
+            jnp.concatenate([pts.x, ident.x], axis=1),
+            jnp.concatenate([pts.y, ident.y], axis=1),
+            jnp.concatenate([pts.z, ident.z], axis=1),
+            jnp.concatenate([pts.t, ident.t], axis=1),
+        )
+        digits = jnp.pad(digits, [(0, pad), (0, 0)])
+
+    t = window_totals(pts, digits, wbits, interpret)
+    packed = jnp.stack([t.x, t.y, t.z, t.t])
+    # fold the validity flag into the single fetched array (the axon tunnel
+    # charges ~24 ms per fetched array)
+    okp = jnp.broadcast_to(ok, (4, NLIMBS, 1)).astype(jnp.int32)
+    return jnp.concatenate([packed, okp], axis=2)
+
+
+# ------------------------------------------------------- static gens cache
+_static_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def static_gens_words(bp_gens, pc_gens, n: int, m: int) -> jnp.ndarray:
+    """Device-resident (4, 8, 2+2nm) u32 words for
+    [B_blinding, B] + G(n,m) + H(n,m), uploaded once per generator set
+    (VERDICT r2 #3: the round-2 path re-uploaded ~2nm·128 B per call)."""
+    per_gens = _static_cache.setdefault(bp_gens, {})
+    key = (n, m, pc_gens.B.compress(), pc_gens.B_blinding.compress())
+    cached = per_gens.get(key)
+    if cached is None:
+        from .pallas_msm import point_words
+        pts = ([pc_gens.B_blinding, pc_gens.B]
+               + bp_gens.G(n, m) + bp_gens.H(n, m))
+        words = np.stack([point_words(p.ep) for p in pts])  # (S, 4, 8)
+        cached = jax.device_put(
+            np.ascontiguousarray(words.transpose(1, 2, 0))
+        )
+        per_gens[key] = cached
+    return cached
+
+
+# --------------------------------------------------------- host param pack
+def pack_verification_params(jobs: list[dict]) -> np.ndarray:
+    """Per-proof challenge params -> (nb, C, 8) u32.  Each job dict carries
+    canonical ints for every channel (see layout above)."""
+    lg = len(jobs[0]["u_sq"])
+    blob = bytearray()
+    for j in jobs:
+        vals = (
+            [j["wz"], j["wz_neg"], j["wa_neg"], j["wzz"], j["wb_neg"],
+             j["y_inv"], j["z"], j["allinv"], j["wt"], j["wt_cx"],
+             j["wt_cxx"], j["wczz"]]
+            + list(j["u_sq"]) + list(j["u_inv_sq"]) + [j["wt_x"]]
+        )
+        for v in vals:
+            blob += int(v).to_bytes(32, "little")
+    nb = len(jobs)
+    c = N_FIXED + 2 * lg + 1
+    return np.frombuffer(bytes(blob), np.uint32).reshape(nb, c, 8)
+
+
+def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
+                        value_commitments, n: int,
+                        entropy: bytes = b"\x01" * 32,
+                        interpret: bool | None = None,
+                        dev_decompress: bool | None = None,
+                        timings: dict | None = None) -> bool:
+    """Full batched verification through the fused device path.  Host work:
+    native transcript replay, one batched inversion, per-proof weight hash,
+    ~15 native scalar muls/proof.  Returns the identity-check result (False
+    also covers invalid point encodings when decompressing on device);
+    raises FormatError/ProofError exactly like RangeProof._job_parts on
+    malformed input, and ValueError on bad encodings in host-decompress
+    mode.
+
+    dev_decompress (default: on for TPU backends) ships raw 32-byte
+    encodings and decodes them in the Pallas decompress kernel; off routes
+    through the native host decompress (the ground-truth path).
+
+    Requires uniform aggregation size m across the batch (callers fall back
+    to proofs.rangeproof.batch_verification_job otherwise)."""
+    import hashlib
+
+    from ..oracle import scalar
+    from ..oracle.ristretto import decompress_many
+    from ..proofs.rangeproof import delta as delta_fn
+
+    import time as _time
+    t_start = _time.perf_counter()
+
+    nb = len(proofs)
+    assert nb == len(transcripts) == len(value_commitments) and nb > 0
+    m = len(value_commitments[0])
+    assert all(len(vc) == m for vc in value_commitments), "uniform m only"
+    nm = n * m
+    lg = nm.bit_length() - 1
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if dev_decompress is None:
+        dev_decompress = not interpret
+
+    # ---- transcript replays (native fused strobe) + proof validation
+    replays = []
+    for proof, transcript, vcs in zip(proofs, transcripts, value_commitments):
+        parts = proof._replay_challenges(bp_gens, pc_gens, transcript, vcs, n)
+        replays.append(parts)
+
+    # ---- batched inversions: y, every u, and (y-1) for the delta
+    # geometric series — one Montgomery-trick pass for the whole batch
+    all_u = [u for r in replays for u in r["u"]]
+    ys = [r["y"] for r in replays]
+    ym1 = [(r["y"] - 1) % L or 1 for r in replays]  # y==1 guarded below
+    inv = scalar.batch_invert(ys + all_u + ym1)
+    y_invs = inv[:nb]
+    u_invs = [inv[nb + i * lg: nb + (i + 1) * lg] for i in range(nb)]
+    ym1_invs = inv[nb + nb * lg:]
+
+    jobs = []
+    bb_sum = 0
+    b_sum = 0
+    for i, (proof, r) in enumerate(zip(proofs, replays)):
+        y, z, x, w, c, u = r["y"], r["z"], r["x"], r["w"], r["c"], r["u"]
+        a, b = proof.ipp_proof.a % L, proof.ipp_proof.b % L
+        wt = scalar.from_bytes_mod_order_wide(
+            hashlib.sha3_512(entropy + i.to_bytes(8, "little")
+                             + proof.to_bytes()).digest()
+        )
+        zz = z * z % L
+        u_inv = u_invs[i]
+        allinv = 1
+        for ui in u_inv:
+            allinv = allinv * ui % L
+        # delta via the geometric series (one shared inversion would need
+        # (y-1); at challenge y the y==1 branch is unreachable in practice
+        # but kept for ground-truth parity)
+        if y == 1:
+            dv = delta_fn(n, m, y, z)
+        else:
+            y_nm = y
+            for _ in range(lg):
+                y_nm = y_nm * y_nm % L
+            sum_y = (y_nm - 1) * ym1_invs[i] % L
+            sum_2 = (1 << n) - 1
+            acc = (z - zz) % L * sum_y % L
+            zexp = zz * z % L
+            for _ in range(m):
+                acc = (acc - zexp * sum_2) % L
+                zexp = zexp * z % L
+            dv = acc
+        b_s = (w * ((proof.t_x - a * b) % L) + c * ((dv - proof.t_x) % L)) % L
+        bb_s = (-proof.e_blinding - c * proof.t_x_blinding) % L
+        bb_sum = (bb_sum + wt * bb_s) % L
+        b_sum = (b_sum + wt * b_s) % L
+        cz = c * zz % L
+        jobs.append({
+            "wz": wt * z % L, "wz_neg": (-wt * z) % L,
+            "wa_neg": (-wt * a) % L, "wzz": wt * zz % L,
+            "wb_neg": (-wt * b) % L, "y_inv": y_invs[i], "z": z,
+            "allinv": allinv, "wt": wt, "wt_x": wt * x % L,
+            "wt_cx": wt * c % L * x % L, "wt_cxx": wt * c % L * x % L * x % L,
+            "wczz": wt * cz % L,
+            "u_sq": [ui * ui % L for ui in u],
+            "u_inv_sq": [ui * ui % L for ui in u_inv],
+        })
+
+    params = pack_verification_params(jobs)
+    bbB = np.frombuffer(
+        int(bb_sum).to_bytes(32, "little") + int(b_sum).to_bytes(32, "little"),
+        np.uint32,
+    ).reshape(2, 8)
+
+    # ---- dyn points
+    all_compressed = []
+    for proof, vcs in zip(proofs, value_commitments):
+        all_compressed.extend(proof.dyn_compressed(vcs))
+    if dev_decompress:
+        # raw encodings, decoded+validated by the Pallas decompress kernel
+        dyn_words = np.ascontiguousarray(
+            np.frombuffer(b"".join(all_compressed), np.uint32)
+            .reshape(len(all_compressed), 8).T
+        )
+    else:
+        # ground-truth path: one threaded native decompress on the host
+        dyn_pts = decompress_many(all_compressed)
+        from .pallas_msm import point_words
+        dyn_words = np.empty((len(dyn_pts), 4, 8), np.uint32)
+        for i, p in enumerate(dyn_pts):
+            w_c = getattr(p, "_words", None)
+            dyn_words[i] = w_c if w_c is not None else point_words(p.ep)
+        dyn_words = np.ascontiguousarray(dyn_words.transpose(1, 2, 0))
+
+    static_words = static_gens_words(bp_gens, pc_gens, n, m)
+
+    from .pallas_msm import best_wbits
+    total = 2 + 2 * nm + nb * (4 + 2 * lg + m)
+    wbits = best_wbits(_padded_size(total))
+    t_host = _time.perf_counter()
+    packed = np.asarray(batch_msm_totals(
+        static_words, jnp.asarray(dyn_words), jnp.asarray(params),
+        jnp.asarray(bbB), n, m, lg, wbits, interpret, dev_decompress,
+    ))
+    t_dev = _time.perf_counter()
+    if timings is not None:
+        timings["host_s"] = t_host - t_start
+        timings["device_s"] = t_dev - t_host  # upload+exec+fetch (the axon
+        # tunnel defers execution to the fetch RPC, so this IS device time)
+        timings["msm_size"] = total
+        timings["wbits"] = wbits
+        timings["dev_decompress"] = dev_decompress
+    if int(packed[0, 0, -1]) == 0:  # invalid point encoding in the batch
+        return False
+    from ..oracle.ristretto import RistrettoPoint
+    from .pallas_msm import combine_window_totals
+    return RistrettoPoint(
+        combine_window_totals(packed[:, :, :-1], wbits)
+    ).is_identity()

@@ -66,6 +66,11 @@ class JaxEngine(Engine):
 
     name = "jax"
 
+    # proofs.rangeproof.batch_verify routes through the fused device path
+    # (kernels/batch_verify_device.py: on-chip scalar synthesis + resident
+    # generator cache) when this engine is installed
+    supports_fused_batch_verify = True
+
     def __init__(self, min_msm_size: int = 16, wbits: int | None = None,
                  pipeline: str = "auto"):
         # below this size the host oracle is faster than a device round trip

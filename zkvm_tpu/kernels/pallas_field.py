@@ -31,26 +31,30 @@ LANE_TILE = 512  # lanes per grid step (4 vregs wide)
 
 
 def _vmem_mul(a, b):
-    """Field mul on (NLIMBS, T) values, pad/concat only (Pallas TPU has no
-    scatter lowering, so no .at[].add)."""
+    """Field mul on (NLIMBS, ...) blocks resident in VMEM, pad/concat only
+    (Pallas TPU has no scatter lowering, so no .at[].add).  Rank-agnostic:
+    limbs on axis 0, any batch shape behind — the single copy of record,
+    shared by the MSM point kernels (pallas_msm) and the ristretto decode
+    kernel (pallas_decompress)."""
+    tail = [(0, 0)] * (a.ndim - 1)
     total = None
     for j in range(NLIMBS):
-        prod = a * b[j: j + 1, :]
-        padded = jnp.pad(prod, [(j, NLIMBS - 1 - j), (0, 0)])
+        prod = a * b[j: j + 1]
+        padded = jnp.pad(prod, [(j, NLIMBS - 1 - j)] + tail)
         total = padded if total is None else total + padded
-    high = total[NLIMBS:, :]
+    high = total[NLIMBS:]
     hi = high >> LIMB_BITS
     lo = high & LIMB_MASK
     r = (
-        total[:NLIMBS, :]
-        + jnp.pad(WRAP * lo, [(0, 1), (0, 0)])
-        + jnp.pad(WRAP * hi, [(1, 0), (0, 0)])
+        total[:NLIMBS]
+        + jnp.pad(WRAP * lo, [(0, 1)] + tail)
+        + jnp.pad(WRAP * hi, [(1, 0)] + tail)
     )
     for _ in range(3):
         hi = r >> LIMB_BITS
         lo = r & LIMB_MASK
         r = jnp.concatenate(
-            [lo[:1, :] + WRAP * hi[-1:, :], lo[1:, :] + hi[:-1, :]], axis=0
+            [lo[:1] + WRAP * hi[-1:], lo[1:] + hi[:-1]], axis=0
         )
     return r
 

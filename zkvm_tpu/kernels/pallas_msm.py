@@ -56,33 +56,9 @@ def neg_lm(x: jnp.ndarray) -> jnp.ndarray:
     return carry_lm(-x)
 
 
-def _vmem_mul(a, b):
-    """Field mul on (NLIMBS, ...) blocks resident in VMEM (pad/concat only —
-    Pallas TPU has no scatter lowering).  Same schedule as
-    pallas_field._vmem_mul; duplicated here so the MSM kernels are
-    self-contained for the copy of record.  Rank-agnostic: limbs on axis 0,
-    any batch shape behind."""
-    tail = [(0, 0)] * (a.ndim - 1)
-    total = None
-    for j in range(NLIMBS):
-        prod = a * b[j: j + 1]
-        padded = jnp.pad(prod, [(j, NLIMBS - 1 - j)] + tail)
-        total = padded if total is None else total + padded
-    high = total[NLIMBS:]
-    hi = high >> LIMB_BITS
-    lo = high & LIMB_MASK
-    r = (
-        total[:NLIMBS]
-        + jnp.pad(WRAP * lo, [(0, 1)] + tail)
-        + jnp.pad(WRAP * hi, [(1, 0)] + tail)
-    )
-    for _ in range(3):
-        hi = r >> LIMB_BITS
-        lo = r & LIMB_MASK
-        r = jnp.concatenate(
-            [lo[:1] + WRAP * hi[-1:], lo[1:] + hi[:-1]], axis=0
-        )
-    return r
+# the fused VMEM field mul lives in pallas_field (single copy of record;
+# VERDICT r2 weak-#5) — rank-agnostic, limbs on axis 0
+from .pallas_field import _vmem_mul  # noqa: E402
 
 
 def _carry_tile(x):

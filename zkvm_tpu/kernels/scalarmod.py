@@ -11,9 +11,11 @@ term by >= 2^7).
 
 Representation matches the field kernels: int32[..., 20] limbs, radix 2^13,
 signed/lazy; values are congruent mod ℓ but NOT canonical (the host reduces
-on unpack).  Powers the prover's l/r vector algebra and the verifier
-s-vector expansion when those migrate on-device (round 2); parity-tested
-against the host oracle now.
+on unpack).  Production caller: kernels/batch_verify_device.py synthesizes
+the verifier's g/h generator columns on device from per-proof transcript
+challenges (upstream seam: inner_product_proof.rs verification_scalars +
+range_proof/mod.rs verify_multiple), then converts to signed radix-2^13 MSM
+digits via `signed_digits13` below.
 """
 
 from __future__ import annotations
@@ -96,6 +98,95 @@ def sub(a, b):
 
 def neg(a):
     return _reduce(-a)
+
+
+def accumulate(x, axis=0):
+    """Sum a batch of carry-tight (..., 20) values over `axis` and reduce.
+    Safe for up to ~2^17 terms: carry-tight limbs are < 2^13+17 (signed
+    magnitude), so column sums stay well inside int32."""
+    return _reduce(jnp.sum(x, axis=axis))
+
+
+def decode_words_last(words):
+    """(..., 8) uint32 canonical little-endian words -> (..., 20) int32
+    limbs (the limbs-LAST twin of pallas_msm.decode_words_lm, for the
+    scalar-synthesis layout where the batch leads)."""
+    from ..constants import LIMB_BITS as LB, LIMB_MASK as LM
+    w = jnp.concatenate([words, jnp.zeros_like(words[..., :1])], axis=-1)
+    limbs = []
+    for j in range(NLIMBS):
+        bit = LB * j
+        k, s = bit >> 5, bit & 31
+        lo = w[..., k] >> s
+        if s > 32 - LB:
+            lo = lo | (w[..., k + 1] << (32 - s))
+        limbs.append((lo & jnp.uint32(LM)).astype(jnp.int32))
+    return jnp.stack(limbs, axis=-1)
+
+
+# ----------------------------------------------------------- digit recoding
+_L_LIMBS = int_to_limbs(L).astype(np.int32)  # canonical limbs of ℓ
+
+
+def _ripple_canonical(x):
+    """Exact sequential carry propagation: (..., 20) int32 limbs (any signed
+    values whose TOTAL is in [0, 2^260)) -> canonical digits in [0, 2^13).
+    20 unrolled steps; carries/borrows ripple exactly (floor shifts)."""
+    outs = []
+    c = jnp.zeros(x.shape[:-1], jnp.int32)
+    for i in range(NLIMBS):
+        t = x[..., i] + c
+        outs.append(t & LIMB_MASK)
+        c = t >> LIMB_BITS
+    return jnp.stack(outs, axis=-1)
+
+
+def partial_reduce_digits(x):
+    """Loose nonnegative (..., 20) limbs (each value < 2^260, congruent
+    mod ℓ) -> CANONICAL radix-2^13 digits of an equivalent value in
+    (0, 2^253 + 2^126): x -> x + ℓ - (x>>252)·ℓ.  The result is below 2^254,
+    so any signed radix-2^w recode's top window cannot overflow (top raw
+    digit < 2^(w-2) for every w with ceil(256/w) windows)."""
+    d = _ripple_canonical(x)
+    q = d[..., NLIMBS - 1] >> 5          # x >> 252  (252 = 13*19 + 5)
+    l_tab = jnp.asarray(_L_LIMBS)
+    adj = d + l_tab - q[..., None] * l_tab
+    return _ripple_canonical(adj)
+
+
+def signed_digits13(x):
+    """Loose nonnegative (..., 20) limbs -> SIGNED radix-2^13 MSM digits
+    (..., 20), value-preserving mod ℓ: when the MSM window width is 13 the
+    digit index IS the limb index, so recoding is a 20-step carry ripple."""
+    d = partial_reduce_digits(x)
+    half = 1 << (LIMB_BITS - 1)
+    outs = []
+    c = jnp.zeros(d.shape[:-1], jnp.int32)
+    for i in range(NLIMBS):
+        t = d[..., i] + c
+        over = t >= half
+        outs.append(jnp.where(over, t - (1 << LIMB_BITS), t))
+        c = over.astype(jnp.int32)
+    return jnp.stack(outs, axis=-1)
+
+
+def digits_to_words(d):
+    """Canonical (..., 20) radix-2^13 digits (value < 2^256) -> (..., 8)
+    uint32 little-endian words — the exact bit repacking feeding
+    pallas_msm.recode_digits_device for arbitrary window widths."""
+    du = d.astype(jnp.uint32)
+    words = []
+    for k in range(8):
+        base = 32 * k
+        w = None
+        for i in range(NLIMBS):
+            off = LIMB_BITS * i - base
+            if off <= -LIMB_BITS or off >= 32:
+                continue
+            piece = (du[..., i] << off) if off >= 0 else (du[..., i] >> -off)
+            w = piece if w is None else (w | piece)
+        words.append(w)
+    return jnp.stack(words, axis=-1)
 
 
 def inner_product(a, b, axis=-2):

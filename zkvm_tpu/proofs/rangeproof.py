@@ -110,7 +110,7 @@ class RangeProof:
         )
 
     # ----------------------------------------------------------------- verify
-    def _job_parts(
+    def _replay_challenges(
         self,
         bp_gens: BulletproofGens,
         pc_gens: PedersenGens,
@@ -118,12 +118,12 @@ class RangeProof:
         value_commitments: list[bytes],
         n: int,
         c: int | None = None,
-        decompressed: list | None = None,
-    ) -> "_JobParts":
-        """Replay the transcript and emit the mega-check MSM sections.
-        This is the batching seam: callers combine several jobs with random
-        weights into one MSM; the g/h columns stay as packed ScalarVec.
-        """
+    ) -> dict:
+        """Validate proof structure and replay the verification transcript;
+        returns {"y","z","x","w","c","u"}.  The challenge-only seam shared
+        by the host scalar assembly (_job_parts) and the fused device path
+        (kernels/batch_verify_device.py), which synthesizes all vector
+        scalars on-chip from exactly these values."""
         m = len(value_commitments)
         if n not in (8, 16, 32, 64):
             raise FormatError("invalid bitsize")
@@ -191,6 +191,28 @@ class RangeProof:
                 transcript.validate_and_append_point(b"L", Lb)
                 transcript.validate_and_append_point(b"R", Rb)
                 u_challenges.append(transcript.challenge_scalar(b"u"))
+        return {"y": y, "z": z, "x": x, "w": w, "c": c, "u": u_challenges}
+
+    def _job_parts(
+        self,
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: ProofTranscript,
+        value_commitments: list[bytes],
+        n: int,
+        c: int | None = None,
+        decompressed: list | None = None,
+    ) -> "_JobParts":
+        """Replay the transcript and emit the mega-check MSM sections.
+        This is the batching seam: callers combine several jobs with random
+        weights into one MSM; the g/h columns stay as packed ScalarVec.
+        """
+        m = len(value_commitments)
+        rep = self._replay_challenges(
+            bp_gens, pc_gens, transcript, value_commitments, n, c
+        )
+        y, z, x, w, c = rep["y"], rep["z"], rep["x"], rep["w"], rep["c"]
+        u_challenges = rep["u"]
         a, b = self.ipp_proof.a % L, self.ipp_proof.b % L
 
         zz = z * z % L
@@ -439,7 +461,24 @@ def batch_verify(
     entropy: bytes = b"\x01" * 32,
 ) -> None:
     """Verify many range proofs in one MSM via a random linear combination
-    (SURVEY.md §2.9 P3; the BASELINE config-2 hot path)."""
+    (SURVEY.md §2.9 P3; the BASELINE config-2 hot path).
+
+    Engines advertising `supports_fused_batch_verify` (the JAX engine on a
+    device backend) route through kernels/batch_verify_device.py, which
+    synthesizes every vector scalar on-chip and keeps the static generators
+    device-resident; other engines (and mixed aggregation sizes) use the
+    host-assembled combined MSM below."""
+    eng = get_engine()
+    if (getattr(eng, "supports_fused_batch_verify", False) and proofs
+            and all(len(vc) == len(value_commitments[0])
+                    for vc in value_commitments)):
+        from ..kernels.batch_verify_device import batch_verify_device
+        if not batch_verify_device(
+            proofs, bp_gens, pc_gens, transcripts, value_commitments, n,
+            entropy,
+        ):
+            raise VerificationError("batch range proof verification failed")
+        return
     scalars, points = batch_verification_job(
         proofs, bp_gens, pc_gens, transcripts, value_commitments, n, entropy
     )
