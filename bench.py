@@ -348,6 +348,53 @@ def _child_cloak():
     _emit({"mode": "cloak", "prove_ms": prove_ms, "verify_ms": verify_ms})
 
 
+def _child_r1cs_scale():
+    """R1CS at 2^15 multipliers (BASELINE config 3 upper end, VERDICT r2
+    #10): 512 x 64-bit range gadgets over committed values, prove+verify
+    latency + constraint counts."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import random
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.gadgets.range import range_proof_gadget
+    from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+    from zkvm_tpu.proofs.r1cs import Prover, Verifier
+    from zkvm_tpu.proofs.transcript import ProofTranscript
+
+    ng = int(os.environ.get("BENCH_R1CS_GADGETS", "512"))
+    pc, bp = PedersenGens(), BulletproofGens(1 << 16)
+    r = random.Random(3)
+
+    t0 = time.perf_counter()
+    prover = Prover(pc, ProofTranscript(b"r1cs-scale"))
+    coms = []
+    for _ in range(ng):
+        v = r.randrange(1 << 64)
+        com, var = prover.commit(v, r.randrange(L))
+        coms.append(com)
+        range_proof_gadget(prover, var, 64, v)
+    build_ms = (time.perf_counter() - t0) * 1e3
+    met = prover.metrics()
+    t0 = time.perf_counter()
+    proof = prover.prove(bp)
+    prove_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    verifier = Verifier(ProofTranscript(b"r1cs-scale"))
+    for com in coms:
+        range_proof_gadget(verifier, verifier.commit(com), 64, None)
+    verifier.verify(proof, pc, bp)
+    verify_ms = (time.perf_counter() - t0) * 1e3
+    _emit({
+        "mode": "r1cs_scale", "multipliers": met.multipliers,
+        "constraints": met.constraints,
+        "phase_one_constraints": met.phase_one_constraints,
+        "phase_two_constraints": met.phase_two_constraints,
+        "build_ms": build_ms, "prove_ms": prove_ms, "verify_ms": verify_ms,
+    })
+
+
 def _child_eff():
     """Sharded-MSM scaling on the virtual CPU mesh (BENCH_EFF_TPS device
     counts; default 1,8 — each mesh shape is a separate slow XLA-CPU
@@ -579,6 +626,8 @@ def main():
         return _child_host()
     if mode == "cloak":
         return _child_cloak()
+    if mode == "r1cs_scale":
+        return _child_r1cs_scale()
     if mode == "eff":
         return _child_eff()
     if mode == "probe":
@@ -613,6 +662,12 @@ def main():
                       f"{d['best_s']*1e3:.1f} ms "
                       f"({d['mpts_per_s']} Mpts/s, compile "
                       f"{d['compile_s']:.1f}s)", file=sys.stderr)
+                if d.get("platform") in ("tpu", "axon"):
+                    record_onchip({
+                        "kind": "msm", "log_n": log_n, "wbits": d["wbits"],
+                        "ms": round(d["best_s"] * 1e3, 1),
+                        "mpts_per_s": d["mpts_per_s"],
+                    })
         if sweep:
             # warm-process rerun of the first size: persistent-cache proof
             d = _run_child("msm", str(sizes[0]))
@@ -690,6 +745,17 @@ def main():
         out["r1cs_cloak_verify_ms"] = round(d["verify_ms"], 1)
         print(f"# r1cs 4x4 cloak: prove {out['r1cs_cloak_prove_ms']} ms, "
               f"verify {out['r1cs_cloak_verify_ms']} ms", file=sys.stderr)
+    d = _run_child("r1cs_scale", timeout=900)
+    if d:
+        out["r1cs_2e15"] = {
+            "multipliers": d["multipliers"],
+            "constraints": d["constraints"],
+            "prove_ms": round(d["prove_ms"], 1),
+            "verify_ms": round(d["verify_ms"], 1),
+        }
+        print(f"# r1cs 2^15 multipliers ({d['constraints']} constraints): "
+              f"prove {d['prove_ms']:.0f} ms, verify {d['verify_ms']:.0f} ms",
+              file=sys.stderr)
 
     # 4) virtual-mesh scaling efficiency
     if not os.environ.get("BENCH_SKIP_EFF"):

@@ -17,7 +17,9 @@ print(f"PROBE_OK {time.strftime('%H:%M:%S')} init+run {time.time()-t0:.1f}s "
       f"{ds[0].platform}", flush=True)
 EOF
   if grep -q PROBE_OK "$LOG"; then
-    echo "device up at $(date +%H:%M:%S); watcher exiting" >> "$LOG"
+    echo "device up at $(date +%H:%M:%S); firing campaign" >> "$LOG"
+    bash /root/repo/bench/onchip_campaign.sh
+    echo "campaign finished at $(date +%H:%M:%S); watcher exiting" >> "$LOG"
     exit 0
   fi
   echo "attempt failed at $(date +%H:%M:%S); retry in 180s" >> "$LOG"

@@ -71,9 +71,14 @@ class JaxEngine(Engine):
     # generator cache) when this engine is installed
     supports_fused_batch_verify = True
 
-    def __init__(self, min_msm_size: int = 16, wbits: int | None = None,
+    def __init__(self, min_msm_size: int = 2048, wbits: int | None = None,
                  pipeline: str = "auto"):
-        # below this size the host oracle is faster than a device round trip
+        # below this size the native host MSM beats a device round trip:
+        # the axon tunnel charges a ~24 ms dispatch/fetch floor while the
+        # native Straus path clears a 1k-point MSM in a few ms, so the
+        # measured crossover sits near 2^11 (it also keeps the prover's
+        # per-round IPP MSMs — 2nm down to 2 — off the device, where they
+        # would serialize 2·log(nm) fetch floors per proof)
         self.min_msm_size = min_msm_size
         self.wbits = wbits
         self.pipeline = pipeline
@@ -115,6 +120,52 @@ class JaxEngine(Engine):
         pts, digits = jmsm.pad_batch(pts, digits)
         return _unpack_single(jmsm.msm_device(pts, digits, wbits))
 
+    # --------------------------------------------------- prover-side seams
+    # The device pipeline's schedule is data-independent (fixed-shape sorts,
+    # gathers and adds — no secret-indexed table lookups or branches), so it
+    # serves the SECRET-scalar prover MSMs too; below the measured tunnel
+    # crossover (~24 ms dispatch/fetch floor) the native constant-time host
+    # path wins and the dispatcher keeps it.
+    secret_min_msm_size = 4096
+
+    def msm_secret(self, scalars, points):
+        if len(points) < self.secret_min_msm_size or not self._use_pallas():
+            return self._oracle.msm_secret(scalars, points)
+        return self.msm(scalars, points)
+
+    def msm_batch(self, scalars_groups, points_groups, ct: bool = False):
+        """Grouped MSMs in one dispatch+fetch (proofs/mpc.py A/S
+        commitments).  Device when the combined work clears the tunnel
+        floor; the groups must be same-sized (they are: 2n+1 per party)."""
+        sizes = {len(p) for p in points_groups}
+        total = sum(len(p) for p in points_groups)
+        if (len(sizes) != 1 or total < 2048 or len(points_groups) < 4
+                or not self._use_pallas()):
+            return super().msm_batch(scalars_groups, points_groups, ct)
+        from . import pallas_msm as pmsm
+        import jax
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        g = len(points_groups)
+        wbits = self.wbits or pmsm.best_wbits(next(iter(sizes)))
+        pws, sws = [], []
+        for sc, pts in zip(scalars_groups, points_groups):
+            if not hasattr(sc, "buf"):
+                sc = [int(s) % L for s in sc]
+            pw, sw = pmsm.pack_words([_point_words(p) for p in pts], sc)
+            pws.append(pw)
+            sws.append(sw)
+        pw = np.stack(pws, axis=2)            # (4, 8, g, np)
+        sw = np.stack(sws, axis=1)            # (8, g, np)
+        totals = np.asarray(pmsm.grouped_window_totals_from_words(
+            jnp.asarray(pw), jnp.asarray(sw), wbits, interpret
+        ))
+        return [
+            ristretto.RistrettoPoint(
+                pmsm.combine_window_totals(totals[i], wbits)
+            )
+            for i in range(g)
+        ]
+
     # ------------------------------------------------------ async pipeline
     def msm_start(self, scalars, points):
         """Dispatch the device half of an MSM WITHOUT fetching: jax
@@ -143,7 +194,9 @@ class JaxEngine(Engine):
         ).is_identity()
 
     def fold_points(self, s1, s2, P, Q):
-        if len(P) < 4:
+        # same crossover reasoning as msm: the native threaded fold clears
+        # the prover's per-round G/H folds far below one tunnel round trip
+        if len(P) < max(4, self.min_msm_size // 2):
             return self._oracle.fold_points(s1, s2, P, Q)
         d1 = jnp.asarray(jp.scalars_to_radix16([int(x) % L for x in s1]))
         d2 = jnp.asarray(jp.scalars_to_radix16([int(x) % L for x in s2]))

@@ -898,6 +898,29 @@ def window_totals_from_words(point_words: jnp.ndarray,
     return jnp.stack([t.x, t.y, t.z, t.t])
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def grouped_window_totals_from_words(point_words: jnp.ndarray,
+                                     scalar_words: jnp.ndarray,
+                                     wbits: int, interpret: bool = False
+                                     ) -> jnp.ndarray:
+    """g independent MSMs in ONE dispatch: point_words (4, 8, g, np) u32 +
+    scalar_words (8, g, np) u32 -> (g, 4, NLIMBS, nw) per-group window
+    totals, fetched as a single array.  Groups unroll in the trace (no
+    device loop — axon syncs the host per loop iteration); the use case is
+    the aggregated prover's 2m bit-commitment MSMs (proofs/mpc.py), where
+    per-group host MSMs would each pay the ~24 ms tunnel floor."""
+    g = point_words.shape[2]
+    outs = []
+    for i in range(g):
+        pts = PointBatch(*(decode_words_lm(point_words[c, :, i])
+                           for c in range(4)))
+        digits = recode_digits_device(scalar_words[:, i], wbits,
+                                      num_windows(wbits))
+        t = window_totals(pts, digits, wbits, interpret)
+        outs.append(jnp.stack([t.x, t.y, t.z, t.t]))
+    return jnp.stack(outs)
+
+
 _IDENTITY_WORDS = np.zeros((4, 8), np.uint32)
 _IDENTITY_WORDS[1, 0] = 1   # Y = 1
 _IDENTITY_WORDS[2, 0] = 1   # Z = 1

@@ -80,6 +80,16 @@ class Engine:
         """Check sum_i s_i P_i == identity (the verifier's single mega-check)."""
         return self.msm(scalars, points).is_identity()
 
+    def msm_batch(self, scalars_groups, points_groups,
+                  ct: bool = False) -> list[ristretto.RistrettoPoint]:
+        """Many independent MSMs in one engine call (the aggregated-prover
+        A/S commitment seam: 2m groups of 2n+1).  The host engine loops;
+        the JAX engine fuses all groups into one device dispatch so the
+        whole batch pays a single tunnel round trip."""
+        f = self.msm_secret if ct else self.msm
+        return [f(s, p) for s, p in
+                zip(scalars_groups, points_groups, strict=True)]
+
     def fold_points(self, s1, s2, P, Q) -> list[ristretto.RistrettoPoint]:
         """Batched 2-term MSMs: [s1_i*P_i + s2_i*Q_i] — the IPP G/H fold step
         (inner_product_proof.rs round fold).  The JAX engine runs this as one

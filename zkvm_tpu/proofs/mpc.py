@@ -94,7 +94,12 @@ class Party:
         import os
         return scalar.from_bytes_mod_order_wide(os.urandom(64))
 
-    def assign_position(self, j: int) -> BitCommitment:
+    def bit_commitment_parts(self, j: int):
+        """Advance to position j and emit the A/S commitment MSM inputs
+        WITHOUT computing them: (scalars_A, points_A, scalars_S, points_S).
+        RangeProof.prove_multiple batches every party's groups through one
+        engine msm_batch call (the host+TPU hybrid prove seam, SURVEY §2.4;
+        upstream computes them per party in party.rs BitCommitment)."""
         if self.bp_gens.party_capacity <= j:
             raise MPCError("invalid generators length (party capacity)")
         self.j = j
@@ -102,27 +107,34 @@ class Party:
         gens = self.bp_gens.share(j)
         G = gens.G(n)
         H = gens.H(n)
-        eng = get_engine()
 
         self.a_blinding = self._random_scalar()
         a_L = bit_decompose(self.v, n)
         a_R = [(b - 1) % L for b in a_L]
         self.a_L, self.a_R = a_L, a_R
 
-        # A = a_blinding*B_blinding + <a_L, G> + <a_R, H>
-        self.A = eng.msm(
-            [self.a_blinding] + a_L + a_R,
-            [self.pc_gens.B_blinding] + G + H,
-        )
-
         self.s_blinding = self._random_scalar()
         self.s_L = [self._random_scalar() for _ in range(n)]
         self.s_R = [self._random_scalar() for _ in range(n)]
-        self.S = eng.msm(
-            [self.s_blinding] + self.s_L + self.s_R,
-            [self.pc_gens.B_blinding] + G + H,
+        base = [self.pc_gens.B_blinding] + G + H
+        return (
+            [self.a_blinding] + a_L + a_R, base,
+            [self.s_blinding] + self.s_L + self.s_R, base,
         )
-        return BitCommitment(self.V.compress(), self.A, self.S)
+
+    def finish_bit_commitment(self, A: RistrettoPoint,
+                              S: RistrettoPoint) -> BitCommitment:
+        self.A, self.S = A, S
+        return BitCommitment(self.V.compress(), A, S)
+
+    def assign_position(self, j: int) -> BitCommitment:
+        sa, pa, ss, ps = self.bit_commitment_parts(j)
+        # A = a_blinding*B_blinding + <a_L, G> + <a_R, H>; likewise S with
+        # the s vectors.  The scalars are SECRET (bits of v, blinding
+        # randomness): msm_secret, as upstream party.rs multiscalar_mul.
+        eng = get_engine()
+        A, S = eng.msm_batch([sa, ss], [pa, ps], ct=True)
+        return self.finish_bit_commitment(A, S)
 
     def apply_challenge(self, vc: BitChallenge) -> PolyCommitment:
         n, j = self.n, self.j

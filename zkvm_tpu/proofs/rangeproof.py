@@ -75,7 +75,20 @@ class RangeProof:
             Party(bp_gens, pc_gens, v, b, n, rng=rng)
             for v, b in zip(values, blindings)
         ]
-        bit_commitments = [p.assign_position(j) for j, p in enumerate(parties)]
+        # every party's A/S commitment MSM in ONE engine msm_batch call
+        # (2m groups of 2n+1) — the host+TPU hybrid prove seam: the JAX
+        # engine fuses the whole batch into a single device dispatch once
+        # the work clears its measured crossover
+        groups_s, groups_p = [], []
+        for j, p in enumerate(parties):
+            sa, pa, ss, ps = p.bit_commitment_parts(j)
+            groups_s += [sa, ss]
+            groups_p += [pa, ps]
+        outs = get_engine().msm_batch(groups_s, groups_p, ct=True)
+        bit_commitments = [
+            p.finish_bit_commitment(outs[2 * j], outs[2 * j + 1])
+            for j, p in enumerate(parties)
+        ]
         value_commitments = [bc.V_j for bc in bit_commitments]
         bit_challenge = dealer.receive_bit_commitments(bit_commitments)
         poly_commitments = [p.apply_challenge(bit_challenge) for p in parties]
