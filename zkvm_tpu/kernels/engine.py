@@ -128,6 +128,12 @@ class JaxEngine(Engine):
     # path wins and the dispatcher keeps it.
     secret_min_msm_size = 4096
 
+    # proofs.ipp.InnerProductProof.create routes to the device-resident
+    # argument (kernels/ipp_device.py) at or above this n: below it the
+    # per-round tunnel fetch floor (~24 ms x lg n) outweighs the native
+    # host rounds
+    ipp_device_min_n = 4096
+
     def msm_secret(self, scalars, points):
         if len(points) < self.secret_min_msm_size or not self._use_pallas():
             return self._oracle.msm_secret(scalars, points)

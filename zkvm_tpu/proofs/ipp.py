@@ -50,6 +50,17 @@ class InnerProductProof:
         assert n == len(H) == len(a) == len(b) == len(G_factors) == len(H_factors)
         assert n & (n - 1) == 0, "n must be a power of two"
 
+        # device-resident argument (kernels/ipp_device.py): generators stay
+        # on device in original index space, L/R come from coefficient MSMs
+        # instead of fold chains — bit-identical proofs, Θ(n·lg n) bucket
+        # adds instead of Θ(n·256) fold group-ops
+        min_n = getattr(eng, "ipp_device_min_n", None)
+        if min_n is not None and n >= min_n:
+            from ..kernels.ipp_device import device_ipp_create
+            return device_ipp_create(
+                transcript, Q, G_factors, H_factors, G, H, a, b
+            )
+
         transcript.innerproduct_domain_sep(n)
 
         G = list(G)
