@@ -26,4 +26,11 @@ BENCH_SKIP_EFF=1 BENCH_NB= BENCH_SWEEP=20 BENCH_ITERS=2 \
 echo "--- step 4: seq tile sweep at 2^16 ---"
 timeout 5400 python bench/seq_sweep.py
 
+echo "--- step 5: batch verify, host-decompress variant (comparison) ---"
+BENCH_HOST_DECOMP=1 BENCH_NB=256 BENCH_ITERS=3 \
+  timeout 3600 python bench.py --onchip-now
+
+echo "--- step 6: msm stage profile at 2^16 ---"
+timeout 3600 python bench/msm_stages.py
+
 echo "=== campaign done $(date +%F.%T) ==="
