@@ -191,7 +191,7 @@ def test_jax_engine_routes_batch_verify():
     from zkvm_tpu.proofs.rangeproof import batch_verify
 
     proofs, transcripts, vcs = _make_proofs(2, 16, 1, seed=9)
-    prev = set_engine(JaxEngine())
+    prev = set_engine(JaxEngine(pipeline="pallas"))
     try:
         batch_verify(proofs, BP_GENS, PC_GENS, transcripts, vcs, 16)
         bad = RangeProof.from_bytes(proofs[0].to_bytes())

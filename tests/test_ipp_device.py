@@ -70,7 +70,7 @@ def test_engine_threshold_routes_create():
     host = InnerProductProof.create(
         ProofTranscript(b"route"), Q, gf, hf, G, H, a, b
     )
-    eng = JaxEngine()
+    eng = JaxEngine(pipeline="pallas")
     eng.ipp_device_min_n = 16
     prev = set_engine(eng)
     try:

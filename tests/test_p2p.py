@@ -100,6 +100,57 @@ def test_mitm_substituted_identity_rejected():
     assert isinstance(err.get("a"), HandshakeError)
 
 
+def test_reflection_attack_rejected():
+    """Echoing the initiator's own hello and signature back must fail: the
+    handshake signature is role-tagged, so Alice's initiator-signature can
+    never verify as a responder-signature even over an identical
+    transcript."""
+    ia = PeerIdentity.generate()
+    (sa, ra), (sb, rb) = duplex_pair()
+    err = {}
+
+    def initiator():
+        try:
+            SecurePeer.handshake(ia, sa, ra, True)
+            err["a"] = None
+        except HandshakeError as e:
+            err["a"] = e
+
+    def reflector():
+        hello = rb()
+        sb(hello)       # echo Alice's hello verbatim
+        sig = rb()
+        sb(sig)         # echo Alice's signature verbatim
+
+    ta = threading.Thread(target=initiator)
+    tb = threading.Thread(target=reflector)
+    ta.start(); tb.start(); ta.join(30); tb.join(30)
+    assert isinstance(err.get("a"), HandshakeError)
+
+
+def test_garbage_hello_is_handshake_error():
+    """Invalid point encodings in the hello must surface as HandshakeError,
+    not a raw ValueError."""
+    ia = PeerIdentity.generate()
+    (sa, ra), (sb, rb) = duplex_pair()
+    err = {}
+
+    def initiator():
+        try:
+            SecurePeer.handshake(ia, sa, ra, True)
+        except HandshakeError as e:
+            err["a"] = e
+
+    def garbage():
+        rb()
+        sb(b"\xff" * 80)  # not valid ristretto encodings
+
+    ta = threading.Thread(target=initiator)
+    tb = threading.Thread(target=garbage)
+    ta.start(); tb.start(); ta.join(30); tb.join(30)
+    assert isinstance(err.get("a"), HandshakeError)
+
+
 def test_encrypted_block_sync():
     """A cold node catches up through the encrypted channel: the same
     message loop as tests/test_node_sync.py but every byte rides a sealed

@@ -78,7 +78,8 @@ class SecureChannel:
         self._dead = False
 
     def seal(self, plaintext: bytes) -> bytes:
-        assert not self._dead
+        if self._dead:
+            raise ChannelError("channel poisoned by earlier failure")
         self._s.meta_ad(struct.pack("<I", len(plaintext)), False)
         ks = self._s.prf(len(plaintext), False)
         ct = bytes(a ^ b for a, b in zip(plaintext, ks))
@@ -148,24 +149,39 @@ class SecurePeer:
         t.append_message(b"responder", hb)
 
         # triple DH: ee, and ephemeral-static both ways (ordered by role so
-        # both sides absorb identical bytes)
-        dh_ee = _dh(e, peer_E)
-        if initiator:
-            dh_a = _dh(e, peer_X)            # e_i * X_r
-            dh_b = _dh(identity.secret, peer_E)  # x_i * E_r
-        else:
-            dh_a = _dh(identity.secret, peer_E)  # (e_i * X_r from our side)
-            dh_b = _dh(e, peer_X)
+        # both sides absorb identical bytes).  Invalid encodings are a
+        # handshake failure, not a crash.
+        try:
+            dh_ee = _dh(e, peer_E)
+            if initiator:
+                dh_a = _dh(e, peer_X)            # e_i * X_r
+                dh_b = _dh(identity.secret, peer_E)  # x_i * E_r
+            else:
+                dh_a = _dh(identity.secret, peer_E)
+                dh_b = _dh(e, peer_X)
+        except ValueError as exc:
+            raise HandshakeError(f"invalid peer point encoding: {exc}")
         t.append_message(b"dh-ee", dh_ee)
         t.append_message(b"dh-es", dh_a)
         t.append_message(b"dh-se", dh_b)
 
-        # mutual authentication: sign the shared transcript state
-        sig = starsig.sign(t.clone(), identity.secret)
+        # mutual authentication: each side signs the shared transcript
+        # TAGGED WITH ITS OWN ROLE — without the role tag a reflection
+        # attacker could replay the initiator's hello+signature back at it
+        # (identical transcript, identical DH when ha == hb)
+        my_role = b"initiator" if initiator else b"responder"
+        peer_role = b"responder" if initiator else b"initiator"
+
+        def _role_view(role: bytes) -> Transcript:
+            tc = t.clone()
+            tc.append_message(b"sign-role", role)
+            return tc
+
+        sig = starsig.sign(_role_view(my_role), identity.secret)
         send(sig.to_bytes())
-        peer_sig = starsig.Signature.from_bytes(recv())
         try:
-            starsig.verify(peer_sig, t.clone(),
+            peer_sig = starsig.Signature.from_bytes(recv())
+            starsig.verify(peer_sig, _role_view(peer_role),
                            starsig.VerificationKey(peer_X))
         except Exception as exc:
             raise HandshakeError(f"peer authentication failed: {exc}")
@@ -238,4 +254,7 @@ def encrypted_sync(requester, responder, id_req: PeerIdentity,
         for msg in replies:
             sealed = presp.seal(msg)           # responder -> requester
             outbound.extend(requester.handle_message(preq.open(sealed)))
+    if outbound:
+        from .node import NodeError
+        raise NodeError("sync did not converge")
     return rounds

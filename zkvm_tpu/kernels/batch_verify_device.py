@@ -145,16 +145,8 @@ def _synthesize(params: jnp.ndarray, n: int, m: int, lg: int):
 
 
 def _padded_size(total: int) -> int:
-    """Mirror pack_words' padding: multiples of the seq tile above it,
-    powers of two below."""
-    from .pallas_msm import SEQ_BLOCK, SEQ_LANES
-    tile = SEQ_LANES * SEQ_BLOCK
-    if total > tile:
-        return -(-total // tile) * tile
-    size = 1
-    while size < max(16, total):
-        size *= 2
-    return size
+    from .pallas_msm import padded_msm_size
+    return padded_msm_size(total)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))

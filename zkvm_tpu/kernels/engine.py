@@ -68,8 +68,13 @@ class JaxEngine(Engine):
 
     # proofs.rangeproof.batch_verify routes through the fused device path
     # (kernels/batch_verify_device.py: on-chip scalar synthesis + resident
-    # generator cache) when this engine is installed
-    supports_fused_batch_verify = True
+    # generator cache) when this engine runs a real Pallas backend —
+    # interpret-mode Pallas on CPU is orders of magnitude slower than the
+    # host-assembled path, so "auto" engines on CPU keep the host route
+    # (tests force it with pipeline="pallas")
+    @property
+    def supports_fused_batch_verify(self) -> bool:
+        return self._use_pallas()
 
     def __init__(self, min_msm_size: int = 2048, wbits: int | None = None,
                  pipeline: str = "auto"):

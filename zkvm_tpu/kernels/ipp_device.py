@@ -47,14 +47,8 @@ from .point import PointBatch
 
 
 def _msm_padded_size(total: int) -> int:
-    from .pallas_msm import SEQ_BLOCK, SEQ_LANES
-    tile = SEQ_LANES * SEQ_BLOCK
-    if total > tile:
-        return -(-total // tile) * tile
-    size = 16
-    while size < total:
-        size *= 2
-    return size
+    from .pallas_msm import padded_msm_size
+    return padded_msm_size(total)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 10))

@@ -932,20 +932,28 @@ def point_words(ep) -> np.ndarray:
     return np.frombuffer(blob, np.uint32).reshape(4, 8)
 
 
+def padded_msm_size(n: int, min_size: int = 16) -> int:
+    """THE padding rule for the MSM pipelines (single source — the digit
+    and point arrays must agree with window_totals' seq-tile dispatch):
+    above the seq pipeline's tile (SEQ_LANES*SEQ_BLOCK) pad to the next
+    MULTIPLE of it, not the next power of two (a 17k-point batch-verify
+    MSM would otherwise waste 47% of the chip); below it, powers of two
+    so jit compiles are shared across nearby sizes."""
+    seq_tile = SEQ_LANES * SEQ_BLOCK
+    if n > seq_tile:
+        return -(-n // seq_tile) * seq_tile
+    size = 1
+    while size < max(min_size, 16, n):
+        size *= 2
+    return size
+
+
 def pack_words(points_ep, scalars, min_size: int = 16
                ) -> tuple[np.ndarray, np.ndarray]:
     """Host packing: points + scalars -> ((4, 8, n), (8, n)) u32 arrays,
-    padded with identity points / zero scalars.  Above the seq pipeline's
-    tile (4096) pad to the next MULTIPLE of it, not the next power of two:
-    a 17k-point batch-verify MSM would otherwise waste 47% of the chip."""
+    padded (padded_msm_size) with identity points / zero scalars."""
     n = len(scalars)
-    seq_tile = SEQ_LANES * SEQ_BLOCK
-    if n > seq_tile:
-        size = -(-n // seq_tile) * seq_tile
-    else:
-        size = 1
-        while size < max(min_size, 16, n):
-            size *= 2
+    size = padded_msm_size(n, min_size)
     pw = np.empty((size, 4, 8), np.uint32)
     for i, ep in enumerate(points_ep):
         pw[i] = ep if isinstance(ep, np.ndarray) else point_words(ep)

@@ -55,7 +55,11 @@ class InnerProductProof:
         # instead of fold chains — bit-identical proofs, Θ(n·lg n) bucket
         # adds instead of Θ(n·256) fold group-ops
         min_n = getattr(eng, "ipp_device_min_n", None)
-        if min_n is not None and n >= min_n:
+        use_pallas = getattr(eng, "_use_pallas", None)
+        if (min_n is not None and n >= min_n
+                and use_pallas is not None and use_pallas()):
+            # gate on a REAL Pallas backend: interpret-mode rounds on CPU
+            # are far slower than the native host fold chain
             from ..kernels.ipp_device import device_ipp_create
             return device_ipp_create(
                 transcript, Q, G_factors, H_factors, G, H, a, b

@@ -483,6 +483,7 @@ def batch_verify(
     host-assembled combined MSM below."""
     eng = get_engine()
     if (getattr(eng, "supports_fused_batch_verify", False) and proofs
+            and len(value_commitments) == len(proofs)
             and all(len(vc) == len(value_commitments[0])
                     for vc in value_commitments)):
         from ..kernels.batch_verify_device import batch_verify_device
