@@ -20,6 +20,13 @@ import random
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(n): advisory per-test budget (no-op without pytest-timeout)",
+    )
+
+
 @pytest.fixture
 def rng():
     return random.Random(1234)

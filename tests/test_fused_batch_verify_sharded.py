@@ -1,0 +1,59 @@
+"""Multi-chip fused batch verification (parallel/fused_batch_verify.py) on
+the 8-device virtual CPU mesh: proofs shard over the mesh, per-shard fused
+totals Edwards-add into the combined mega-check.  Accept + reject parity
+with the single-chip fused path."""
+
+import random
+
+import pytest
+
+from zkvm_tpu.constants import L
+from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
+from zkvm_tpu.proofs.rangeproof import RangeProof
+from zkvm_tpu.proofs.transcript import ProofTranscript
+
+PC_GENS = PedersenGens()
+BP_GENS = BulletproofGens(64, 2)
+
+
+def _make_proofs(nb, n, seed):
+    r = random.Random(seed)
+    proofs, transcripts, vcs = [], [], []
+    for _ in range(nb):
+        p, V = RangeProof.prove_single(
+            BP_GENS, PC_GENS, ProofTranscript(b"shard-batch"),
+            r.randrange(1 << n), r.randrange(L), n,
+        )
+        proofs.append(p)
+        transcripts.append(ProofTranscript(b"shard-batch"))
+        vcs.append([V])
+    return proofs, transcripts, vcs
+
+
+@pytest.mark.timeout(900)
+def test_sharded_fused_batch_verify():
+    from zkvm_tpu.parallel.fused_batch_verify import sharded_batch_verify
+    from zkvm_tpu.parallel.mesh import make_mesh
+
+    import jax
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    proofs, transcripts, vcs = _make_proofs(8, 8, seed=3)
+    assert sharded_batch_verify(
+        mesh, proofs, BP_GENS, PC_GENS, transcripts, vcs, 8
+    )
+
+    # one tampered proof anywhere in the batch poisons the combined check
+    bad = RangeProof.from_bytes(proofs[5].to_bytes())
+    bad.t_x = (bad.t_x + 1) % L
+    tampered = proofs[:5] + [bad] + proofs[6:]
+    assert not sharded_batch_verify(
+        mesh, tampered, BP_GENS, PC_GENS,
+        [ProofTranscript(b"shard-batch") for _ in proofs], vcs, 8,
+    )
+
+    # batch size must divide the mesh
+    with pytest.raises(ValueError):
+        sharded_batch_verify(
+            mesh, proofs[:6], BP_GENS, PC_GENS,
+            [ProofTranscript(b"shard-batch") for _ in range(6)], vcs[:6], 8,
+        )

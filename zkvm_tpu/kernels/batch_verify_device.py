@@ -149,23 +149,12 @@ def _padded_size(total: int) -> int:
     return padded_msm_size(total)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
-def batch_msm_totals(static_words: jnp.ndarray,   # (4, 8, 2+2nm) u32 resident
-                     dyn_words: jnp.ndarray,      # see dev_decompress
-                     params_words: jnp.ndarray,   # (nb, C, 8) u32
-                     bbB_words: jnp.ndarray,      # (2, 8) u32
-                     n: int, m: int, lg: int, wbits: int,
-                     interpret: bool = False,
-                     dev_decompress: bool = False) -> jnp.ndarray:
-    """The whole batched mega-check MSM on device: returns packed window
-    totals (4, NLIMBS, nw+1) for the host Horner combine, with the last
-    column broadcasting the point-validity flag.  Point order:
-    [B_blinding, B] + G + H + per-proof dyn; scalar rows match.
-
-    dyn_words: (4, 8, D) u32 extended coords when dev_decompress=False;
-    (8, D) u32 raw 32-byte encodings when True (decoded on device by
-    kernels/pallas_decompress.py — upload drops 128 -> 32 B/point and the
-    host sheds its native decompress entirely)."""
+def _totals_core(static_words, dyn_words, params_words, bbB_words,
+                 n: int, m: int, lg: int, wbits: int,
+                 interpret: bool, dev_decompress: bool) -> jnp.ndarray:
+    """Trace-pure body of batch_msm_totals — also runs per-shard under
+    shard_map in parallel/fused_batch_verify.py (MSMs are sums, so shards'
+    window totals Edwards-add into the combined mega-check)."""
     from .msm import num_windows
 
     nm = n * m
@@ -227,6 +216,27 @@ def batch_msm_totals(static_words: jnp.ndarray,   # (4, 8, 2+2nm) u32 resident
     return jnp.concatenate([packed, okp], axis=2)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def batch_msm_totals(static_words: jnp.ndarray,   # (4, 8, 2+2nm) u32 resident
+                     dyn_words: jnp.ndarray,      # see dev_decompress
+                     params_words: jnp.ndarray,   # (nb, C, 8) u32
+                     bbB_words: jnp.ndarray,      # (2, 8) u32
+                     n: int, m: int, lg: int, wbits: int,
+                     interpret: bool = False,
+                     dev_decompress: bool = False) -> jnp.ndarray:
+    """The whole batched mega-check MSM on device: returns packed window
+    totals (4, NLIMBS, nw+1) for the host Horner combine, with the last
+    column broadcasting the point-validity flag.  Point order:
+    [B_blinding, B] + G + H + per-proof dyn; scalar rows match.
+
+    dyn_words: (4, 8, D) u32 extended coords when dev_decompress=False;
+    (8, D) u32 raw 32-byte encodings when True (decoded on device by
+    kernels/pallas_decompress.py — upload drops 128 -> 32 B/point and the
+    host sheds its native decompress entirely)."""
+    return _totals_core(static_words, dyn_words, params_words, bbB_words,
+                        n, m, lg, wbits, interpret, dev_decompress)
+
+
 # ------------------------------------------------------- static gens cache
 _static_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
@@ -270,34 +280,20 @@ def pack_verification_params(jobs: list[dict]) -> np.ndarray:
     return np.frombuffer(bytes(blob), np.uint32).reshape(nb, c, 8)
 
 
-def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
-                        value_commitments, n: int,
-                        entropy: bytes = b"\x01" * 32,
-                        interpret: bool | None = None,
-                        dev_decompress: bool | None = None,
-                        timings: dict | None = None) -> bool:
-    """Full batched verification through the fused device path.  Host work:
-    native transcript replay, one batched inversion, per-proof weight hash,
-    ~15 native scalar muls/proof.  Returns the identity-check result (False
-    also covers invalid point encodings when decompressing on device);
-    raises FormatError/ProofError exactly like RangeProof._job_parts on
-    malformed input, and ValueError on bad encodings in host-decompress
-    mode.
-
-    dev_decompress (default: on for TPU backends) ships raw 32-byte
-    encodings and decodes them in the Pallas decompress kernel; off routes
-    through the native host decompress (the ground-truth path).
-
-    Requires uniform aggregation size m across the batch (callers fall back
-    to proofs.rangeproof.batch_verification_job otherwise)."""
+def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
+                         value_commitments, n: int,
+                         entropy: bytes = b"\x01" * 32,
+                         dev_decompress: bool = True):
+    """Host half of the fused batch verify: transcript replays, batched
+    inversions, per-proof challenge params and weights.  Returns
+    (params (nb,C,8) u32, bbB_per_proof (nb,2,8) u32 — PER-PROOF weighted
+    B_blinding/B scalars so sharded callers can sum per shard, dyn_words,
+    m, lg).  Raises exactly like RangeProof._job_parts on malformed input."""
     import hashlib
 
     from ..oracle import scalar
     from ..oracle.ristretto import decompress_many
     from ..proofs.rangeproof import delta as delta_fn
-
-    import time as _time
-    t_start = _time.perf_counter()
 
     nb = len(proofs)
     assert nb == len(transcripts) == len(value_commitments) and nb > 0
@@ -305,11 +301,6 @@ def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
     assert all(len(vc) == m for vc in value_commitments), "uniform m only"
     nm = n * m
     lg = nm.bit_length() - 1
-
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    if dev_decompress is None:
-        dev_decompress = not interpret
 
     # ---- transcript replays (native fused strobe) + proof validation
     replays = []
@@ -328,8 +319,7 @@ def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
     ym1_invs = inv[nb + nb * lg:]
 
     jobs = []
-    bb_sum = 0
-    b_sum = 0
+    bbB_rows = []
     for i, (proof, r) in enumerate(zip(proofs, replays)):
         y, z, x, w, c, u = r["y"], r["z"], r["x"], r["w"], r["c"], r["u"]
         a, b = proof.ipp_proof.a % L, proof.ipp_proof.b % L
@@ -361,8 +351,10 @@ def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
             dv = acc
         b_s = (w * ((proof.t_x - a * b) % L) + c * ((dv - proof.t_x) % L)) % L
         bb_s = (-proof.e_blinding - c * proof.t_x_blinding) % L
-        bb_sum = (bb_sum + wt * bb_s) % L
-        b_sum = (b_sum + wt * b_s) % L
+        bbB_rows.append(
+            int(wt * bb_s % L).to_bytes(32, "little")
+            + int(wt * b_s % L).to_bytes(32, "little")
+        )
         cz = c * zz % L
         jobs.append({
             "wz": wt * z % L, "wz_neg": (-wt * z) % L,
@@ -376,10 +368,8 @@ def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
         })
 
     params = pack_verification_params(jobs)
-    bbB = np.frombuffer(
-        int(bb_sum).to_bytes(32, "little") + int(b_sum).to_bytes(32, "little"),
-        np.uint32,
-    ).reshape(2, 8)
+    bbB_per_proof = np.frombuffer(b"".join(bbB_rows), np.uint32).reshape(
+        nb, 2, 8)
 
     # ---- dyn points
     all_compressed = []
@@ -400,6 +390,61 @@ def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
             w_c = getattr(p, "_words", None)
             dyn_words[i] = w_c if w_c is not None else point_words(p.ep)
         dyn_words = np.ascontiguousarray(dyn_words.transpose(1, 2, 0))
+
+    return params, bbB_per_proof, dyn_words, m, lg
+
+
+def sum_bbB(bbB_pp: np.ndarray) -> np.ndarray:
+    """Sum per-proof weighted B_blinding/B scalar rows (nb, 2, 8) u32 into
+    the (2, 8) column scalars (host native ScalarVec)."""
+    from ..native import ScalarVec
+    nb = bbB_pp.shape[0]
+    blob = np.ascontiguousarray(bbB_pp).tobytes()
+    bb = ScalarVec(b"".join(blob[i * 64: i * 64 + 32]
+                            for i in range(nb)), nb).sum()
+    b = ScalarVec(b"".join(blob[i * 64 + 32: i * 64 + 64]
+                           for i in range(nb)), nb).sum()
+    return np.frombuffer(
+        int(bb).to_bytes(32, "little") + int(b).to_bytes(32, "little"),
+        np.uint32,
+    ).reshape(2, 8).copy()
+
+
+def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
+                        value_commitments, n: int,
+                        entropy: bytes = b"\x01" * 32,
+                        interpret: bool | None = None,
+                        dev_decompress: bool | None = None,
+                        timings: dict | None = None) -> bool:
+    """Full batched verification through the fused device path.  Host work:
+    native transcript replay, one batched inversion, per-proof weight hash,
+    ~15 native scalar muls/proof.  Returns the identity-check result (False
+    also covers invalid point encodings when decompressing on device);
+    raises FormatError/ProofError exactly like RangeProof._job_parts on
+    malformed input, and ValueError on bad encodings in host-decompress
+    mode.
+
+    dev_decompress (default: on for TPU backends) ships raw 32-byte
+    encodings and decodes them in the Pallas decompress kernel; off routes
+    through the native host decompress (the ground-truth path).
+
+    Requires uniform aggregation size m across the batch (callers fall back
+    to proofs.rangeproof.batch_verification_job otherwise)."""
+    import time as _time
+    t_start = _time.perf_counter()
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if dev_decompress is None:
+        dev_decompress = not interpret
+
+    params, bbB_pp, dyn_words, m, lg = prepare_batch_inputs(
+        proofs, bp_gens, pc_gens, transcripts, value_commitments, n,
+        entropy, dev_decompress,
+    )
+    nb = len(proofs)
+    nm = n * m
+    bbB = sum_bbB(bbB_pp)
 
     static_words = static_gens_words(bp_gens, pc_gens, n, m)
 
