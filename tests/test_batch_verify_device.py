@@ -34,6 +34,23 @@ def test_signed_digits13_roundtrip(rng):
         assert got % L == v % L
 
 
+def test_signed_digits13_loose_overflow(rng):
+    """Loose mul/accumulate outputs can exceed 2^260 by a sliver (limbs
+    carry-tight at ~2^13+17); the recode must retain the final ripple carry
+    instead of silently dropping value mod 2^260."""
+    import jax.numpy as jnp
+    rows = [np.full(20, (1 << 13) + 17, np.int32)]        # ~1.002 * 2^260
+    for _ in range(16):
+        rows.append(np.asarray(
+            [rng.randrange(0, (1 << 13) + 18) for _ in range(20)], np.int32))
+    loose = np.stack(rows)
+    digits = np.asarray(sm.signed_digits13(jnp.asarray(loose)))
+    for row_in, row_out in zip(loose, digits):
+        want = sum(int(v) << (13 * i) for i, v in enumerate(row_in)) % L
+        got = sum(int(d) << (13 * i) for i, d in enumerate(row_out)) % L
+        assert got == want
+
+
 def test_digits_to_words_roundtrip(rng):
     import jax.numpy as jnp
     vals = [rng.randrange(1 << 260) for _ in range(16)] + [0, L - 1, L + 7]

@@ -125,32 +125,43 @@ def decode_words_last(words):
 
 
 # ----------------------------------------------------------- digit recoding
-_L_LIMBS = int_to_limbs(L).astype(np.int32)  # canonical limbs of ℓ
+_L_LIMBS = int_to_limbs(L).astype(np.int32)    # canonical limbs of ℓ
+_DELTA_LIMBS = int_to_limbs(L - (1 << 252)).astype(np.int32)  # ℓ - 2^252
 
 
-def _ripple_canonical(x):
-    """Exact sequential carry propagation: (..., 20) int32 limbs (any signed
-    values whose TOTAL is in [0, 2^260)) -> canonical digits in [0, 2^13).
-    20 unrolled steps; carries/borrows ripple exactly (floor shifts)."""
+def _ripple_canonical(x, keep_carry: bool = False):
+    """Exact sequential carry propagation: (..., 20) int32 limbs -> canonical
+    digits in [0, 2^13).  20 unrolled steps; carries/borrows ripple exactly
+    (floor shifts).  keep_carry appends the final carry as limb 20 — loose
+    mul/accumulate outputs can exceed 2^260 by a sliver (limbs are
+    carry-tight at ~2^13+17, so values reach ~1.002·2^260), and dropping
+    that carry would change the value mod ℓ."""
     outs = []
     c = jnp.zeros(x.shape[:-1], jnp.int32)
     for i in range(NLIMBS):
         t = x[..., i] + c
         outs.append(t & LIMB_MASK)
         c = t >> LIMB_BITS
+    if keep_carry:
+        outs.append(c)
     return jnp.stack(outs, axis=-1)
 
 
 def partial_reduce_digits(x):
-    """Loose nonnegative (..., 20) limbs (each value < 2^260, congruent
-    mod ℓ) -> CANONICAL radix-2^13 digits of an equivalent value in
-    (0, 2^253 + 2^126): x -> x + ℓ - (x>>252)·ℓ.  The result is below 2^254,
-    so any signed radix-2^w recode's top window cannot overflow (top raw
-    digit < 2^(w-2) for every w with ceil(256/w) windows)."""
-    d = _ripple_canonical(x)
-    q = d[..., NLIMBS - 1] >> 5          # x >> 252  (252 = 13*19 + 5)
-    l_tab = jnp.asarray(_L_LIMBS)
-    adj = d + l_tab - q[..., None] * l_tab
+    """Loose nonnegative (..., 20) limbs (value < 2^261, congruent mod ℓ)
+    -> CANONICAL radix-2^13 digits of an equivalent value in
+    (0, 2^253 + 2^126): with q = x >> 252 (read from the carry-retaining
+    ripple), x -> (x mod 2^252) + ℓ - q·(ℓ - 2^252).  The result is below
+    2^254, so any signed radix-2^w recode's top window cannot overflow
+    (top raw digit < 2^(w-2) for every w with ceil(256/w) windows)."""
+    d = _ripple_canonical(x, keep_carry=True)      # (..., 21)
+    # q = x >> 252: bits 252..259 live in digit 19 (>>5), 260+ in digit 20
+    q = (d[..., NLIMBS - 1] >> 5) | (d[..., NLIMBS] << 8)
+    r = jnp.concatenate(
+        [d[..., : NLIMBS - 1], d[..., NLIMBS - 1: NLIMBS] & 31], axis=-1
+    )                                              # x mod 2^252
+    adj = (r + jnp.asarray(_L_LIMBS)
+           - q[..., None] * jnp.asarray(_DELTA_LIMBS))
     return _ripple_canonical(adj)
 
 
