@@ -52,3 +52,13 @@ def test_cli_node_demo(capsys):
     assert out["tips_agree"] is True
     assert out["height"] == 3
     assert out["live_utxos"] == 1
+
+
+def test_cli_batch_verify(capsys):
+    import json
+
+    from zkvm_tpu.cli import main
+
+    main(["batch-verify", "--count", "3", "--bits", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count"] == 3 and out["batch_verify_ms"] > 0

@@ -54,6 +54,49 @@ def _cmd_rangeproof(args):
     }))
 
 
+def _cmd_batch_verify(args):
+    """Prove a batch of range proofs, then verify them all in ONE combined
+    MSM — on the device engine's fused pipeline when a TPU backend is up,
+    the host-assembled combined check otherwise."""
+    from .constants import L
+    from .oracle import scalar as sc
+    from .proofs.engine import set_engine
+    from .proofs.generators import BulletproofGens, PedersenGens
+    from .proofs.rangeproof import RangeProof, batch_verify
+    from .proofs.transcript import ProofTranscript
+
+    pc, bp = PedersenGens(), BulletproofGens(args.bits)
+    proofs, transcripts, vcs = [], [], []
+    t0 = time.time()
+    for i in range(args.count):
+        proof, V = RangeProof.prove_single(
+            bp, pc, ProofTranscript(b"zkvm_tpu.cli.batch"),
+            (args.value + i) % (1 << args.bits),
+            sc.from_bytes_mod_order_wide(os.urandom(64)), args.bits,
+        )
+        proofs.append(proof)
+        transcripts.append(ProofTranscript(b"zkvm_tpu.cli.batch"))
+        vcs.append([V])
+    t_prove = time.time() - t0
+
+    engine = "host"
+    if args.engine == "jax":
+        from .kernels.engine import JaxEngine
+        eng = JaxEngine()
+        set_engine(eng)
+        engine = ("jax-fused" if eng.supports_fused_batch_verify
+                  else "jax(host-route)")
+    t0 = time.time()
+    batch_verify(proofs, bp, pc, transcripts, vcs, args.bits)
+    t_verify = time.time() - t0
+    print(json.dumps({
+        "count": args.count, "bits": args.bits, "engine": engine,
+        "prove_ms_total": round(t_prove * 1e3, 1),
+        "batch_verify_ms": round(t_verify * 1e3, 1),
+        "verifies_per_sec": round(args.count / t_verify, 1),
+    }))
+
+
 def _cmd_issue(args):
     from .apps import Token, issue_program
     from .proofs.generators import BulletproofGens
@@ -177,6 +220,13 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("keygen").set_defaults(fn=_cmd_keygen)
+
+    bv = sub.add_parser("batch-verify")
+    bv.add_argument("--count", type=int, default=32)
+    bv.add_argument("--bits", type=int, default=64)
+    bv.add_argument("--value", type=int, default=1234)
+    bv.add_argument("--engine", choices=["host", "jax"], default="host")
+    bv.set_defaults(fn=_cmd_batch_verify)
 
     rp = sub.add_parser("rangeproof")
     rp.add_argument("--bits", type=int, default=64, choices=[8, 16, 32, 64])
