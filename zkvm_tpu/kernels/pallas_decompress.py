@@ -43,11 +43,17 @@ DEC_TILE = 512  # lanes per grid step
 
 
 def _const(x: int) -> np.ndarray:
-    return int_to_limbs(x % (1 << 260)).astype(np.int32)[:, None]
+    """(NLIMBS, DEC_TILE) pre-tiled constant.  Mosaic cannot broadcast a
+    (1, 1) vreg slice at a nonzero lane offset to a full tile (the r3
+    on-chip campaign hit exactly that in _vmem_mul's b[j:j+1] when the
+    constant was a (NLIMBS, 1) column), so constants arrive lane-complete
+    — the _D2_TILE idiom proven on chip in pallas_msm."""
+    col = int_to_limbs(x % (1 << 260)).astype(np.int32)[:, None]
+    return np.ascontiguousarray(np.broadcast_to(col, (NLIMBS, DEC_TILE)))
 
 
 # one consts block passed into the kernel (Pallas forbids captured
-# constants): columns [d, sqrt_m1, one, 2p]
+# constants): DEC_TILE-wide blocks [d | sqrt_m1 | one | 2p]
 _CONSTS = np.concatenate(
     [_const(EDWARDS_D), _const(SQRT_M1), _const(1), _const(2 * P)], axis=1
 )
@@ -85,15 +91,16 @@ def _pow_p58(a):
 def _ripple(x):
     """Exact sequential carry propagation, no wrap: limb-major unrolled
     20 steps (the in-kernel twin of field.carry_full_nowrap; overflow
-    retained in limb 19)."""
+    retained in limb 19).  All rows stay 2-D (1, T) — Mosaic's vreg
+    layouts are happiest with rank-2 everywhere."""
     outs = []
-    c = jnp.zeros_like(x[0])
+    c = jnp.zeros_like(x[:1])
     for i in range(NLIMBS):
-        t = x[i] + c
+        t = x[i: i + 1] + c
         outs.append(t & LIMB_MASK)
         c = t >> LIMB_BITS
     outs[-1] = outs[-1] + (c << LIMB_BITS)
-    return jnp.stack(outs)
+    return jnp.concatenate(outs, axis=0)
 
 
 def _normalize(a, two_p):
@@ -106,13 +113,14 @@ def _normalize(a, two_p):
     a = _ripple(a)
     t = jnp.concatenate([a[:1] + 19, a[1:]], axis=0)
     t = _ripple(t)
-    ge = (t[NLIMBS - 1] >> 8) & 1
+    ge = (t[NLIMBS - 1:] >> 8) & 1                       # (1, T)
     t_cleared = jnp.concatenate([t[:-1], t[-1:] & 0xFF], axis=0)
-    return jnp.where((ge == 1)[None], t_cleared, a)
+    return jnp.where(ge == 1, t_cleared, a)
 
 
 def _is_zero(a, two_p):
-    return jnp.all(_normalize(a, two_p) == 0, axis=0)
+    """(1, T) mask."""
+    return jnp.all(_normalize(a, two_p) == 0, axis=0, keepdims=True)
 
 
 def _eq(a, b, two_p):
@@ -120,7 +128,8 @@ def _eq(a, b, two_p):
 
 
 def _is_negative(a, two_p):
-    return (_normalize(a, two_p)[0] & 1) != 0
+    """(1, T) mask."""
+    return (_normalize(a, two_p)[:1] & 1) != 0
 
 
 def _decode_words(words):
@@ -131,29 +140,29 @@ def _decode_words(words):
     for j in range(NLIMBS):
         bit = LIMB_BITS * j
         k, s = bit >> 5, bit & 31
-        lo = w[k] >> s
+        lo = w[k: k + 1] >> s
         if s > 32 - LIMB_BITS:
-            lo = lo | (w[k + 1] << (32 - s))
+            lo = lo | (w[k + 1: k + 2] << (32 - s))
         limbs.append((lo & jnp.uint32(LIMB_MASK)).astype(jnp.int32))
-    return jnp.stack(limbs)
+    return jnp.concatenate(limbs, axis=0)
 
 
 def _decompress_formula(words, consts):
-    """words (8, T) u32, consts (NLIMBS, 4) = [d, sqrt_m1, one, 2p] ->
-    (x, y, z, t, ok) with loose limb coords; invalid lanes yield the
-    identity point and ok = 0."""
+    """words (8, T) u32, consts (NLIMBS, 4*DEC_TILE) = lane-complete blocks
+    [d | sqrt_m1 | one | 2p] -> (x, y, z, t, ok) with loose limb coords;
+    invalid lanes yield the identity point and ok = 0."""
     m = _vmem_mul
     c = _carry_tile
-    d = consts[:, 0:1]
-    sqrt_m1 = consts[:, 1:2]
-    one = consts[:, 2:3]
-    two_p = consts[:, 3:4]
+    d = consts[:, 0 * DEC_TILE: 1 * DEC_TILE]
+    sqrt_m1 = consts[:, 1 * DEC_TILE: 2 * DEC_TILE]
+    one = consts[:, 2 * DEC_TILE: 3 * DEC_TILE]
+    two_p = consts[:, 3 * DEC_TILE: 4 * DEC_TILE]
     s = _decode_words(words)
 
     # s must be the canonical nonnegative representative: the raw 256-bit
     # value equals its mod-p normalization, with even low bit
-    s_canonical = jnp.all(_normalize(s, two_p) == s, axis=0)
-    s_nonneg = (s[0] & 1) == 0
+    s_canonical = jnp.all(_normalize(s, two_p) == s, axis=0, keepdims=True)
+    s_nonneg = (s[:1] & 1) == 0
 
     ss = _sqr(s)
     u1 = c(one - ss)
@@ -170,28 +179,26 @@ def _decompress_formula(words, consts):
     correct = _eq(check, one, two_p)
     flipped = _eq(check, c(-one), two_p)
     flipped_i = _eq(check, c(-sqrt_m1), two_p)
-    r = jnp.where((flipped | flipped_i)[None], m(r, sqrt_m1), r)
-    r = jnp.where(_is_negative(r, two_p)[None], c(-r), r)
+    r = jnp.where(flipped | flipped_i, m(r, sqrt_m1), r)
+    r = jnp.where(_is_negative(r, two_p), c(-r), r)
     was_square = correct | flipped
 
     den_x = m(r, u2)
     den_y = m(m(r, den_x), v)
     x = m(c(s + s), den_x)
-    x = jnp.where(_is_negative(x, two_p)[None], c(-x), x)
+    x = jnp.where(_is_negative(x, two_p), c(-x), x)
     y = m(u1, den_y)
     t = m(x, y)
 
     ok = (was_square & ~_is_negative(t, two_p) & ~_is_zero(y, two_p)
-          & s_canonical & s_nonneg)
+          & s_canonical & s_nonneg)                      # (1, T)
 
     ident_x = jnp.zeros_like(x)
-    ident_y = jnp.broadcast_to(one, y.shape)
-    okl = ok[None]
     return (
-        jnp.where(okl, x, ident_x),
-        jnp.where(okl, y, ident_y),
-        jnp.broadcast_to(one, y.shape),
-        jnp.where(okl, t, ident_x),
+        jnp.where(ok, x, ident_x),
+        jnp.where(ok, y, one),
+        one,
+        jnp.where(ok, t, ident_x),
         ok.astype(jnp.int32),
     )
 
@@ -202,7 +209,7 @@ def _decompress_kernel(w_ref, consts_ref, ox, oy, oz, ot, ok_ref):
     oy[:, :] = y
     oz[:, :] = z
     ot[:, :] = t
-    ok_ref[:, :] = ok[None]
+    ok_ref[:, :] = ok
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -216,7 +223,7 @@ def decompress_points(words: jnp.ndarray, interpret: bool = False):
         words = jnp.pad(words, [(0, 0), (0, n_pad - n)])
     wspec = pl.BlockSpec((8, DEC_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((NLIMBS, 4), lambda i: (0, 0),
+    cspec = pl.BlockSpec((NLIMBS, 4 * DEC_TILE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     spec = pl.BlockSpec((NLIMBS, DEC_TILE), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
