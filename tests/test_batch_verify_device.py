@@ -220,3 +220,47 @@ def test_jax_engine_routes_batch_verify():
             )
     finally:
         set_engine(prev)
+
+
+@pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2)])
+def test_fused_params_native_vs_python(n, m, nb, monkeypatch):
+    """The native whole-batch params assembly (scalarvec.cpp
+    fused_params_assembly) must agree bit-for-bit with the Python chain it
+    replaces (params channels, weighted bbB rows, dyn words)."""
+    from zkvm_tpu.kernels.batch_verify_device import prepare_batch_inputs
+
+    proofs, transcripts, vcs = _make_proofs(nb, n, m, seed=7 * n + m)
+
+    def run():
+        return prepare_batch_inputs(
+            proofs, BP_GENS, PC_GENS,
+            [ProofTranscript(b"fused-batch") for _ in proofs], vcs, n,
+        )
+
+    native = run()
+    monkeypatch.setenv("ZKVM_TPU_PY_PARAMS", "1")
+    pure = run()
+    for a, b in zip(native[:3], pure[:3]):
+        np.testing.assert_array_equal(a, b)
+    assert native[3:] == pure[3:]
+
+
+def test_batch_verify_pipelined_matches_sequential():
+    """The overlapped serving path must return exactly what the one-shot
+    path returns per batch, including a corrupted batch -> False."""
+    from zkvm_tpu.kernels.batch_verify_device import (
+        batch_verify_device, batch_verify_device_pipelined,
+    )
+
+    proofs, _, vcs = _make_proofs(2, 8, 1, seed=3)
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.t_x = (bad.t_x + 1) % L
+
+    def fresh(ps):
+        return (ps, [ProofTranscript(b"fused-batch") for _ in ps], vcs)
+
+    batches = [fresh(proofs), fresh([bad, proofs[1]]), fresh(proofs)]
+    got = batch_verify_device_pipelined(batches, BP_GENS, PC_GENS, 8)
+    assert got == [True, False, True]
+    for ps, ts, v in [fresh(proofs)]:
+        assert batch_verify_device(ps, BP_GENS, PC_GENS, ts, v, 8)

@@ -292,7 +292,6 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     import hashlib
 
     from ..oracle import scalar
-    from ..oracle.ristretto import decompress_many
     from ..proofs.rangeproof import delta as delta_fn
 
     nb = len(proofs)
@@ -307,6 +306,38 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     for proof, transcript, vcs in zip(proofs, transcripts, value_commitments):
         parts = proof._replay_challenges(bp_gens, pc_gens, transcript, vcs, n)
         replays.append(parts)
+
+    # ---- per-proof random weights (the batching randomness)
+    wt_digests = [
+        hashlib.sha3_512(entropy + i.to_bytes(8, "little")
+                         + proof.to_bytes()).digest()
+        for i, proof in enumerate(proofs)
+    ]
+
+    # ---- channel params: ONE native call for the whole batch (scalarvec
+    # fused_params_assembly — batch inversion + ~25 mod-ℓ muls/proof); the
+    # Python chain below is the bit-exact fallback/ground truth
+    # (ZKVM_TPU_PY_PARAMS=1 forces it; tests assert agreement)
+    import os as _os
+    if not _os.environ.get("ZKVM_TPU_PY_PARAMS"):
+        from ..native import fused_params_assembly
+        chal = b"".join(
+            b"".join((int(v) % L).to_bytes(32, "little")
+                     for v in (r["y"], r["z"], r["x"], r["w"], r["c"],
+                               *r["u"]))
+            for r in replays)
+        prf = b"".join(
+            b"".join((int(v) % L).to_bytes(32, "little")
+                     for v in (p.t_x, p.t_x_blinding, p.e_blinding,
+                               p.ipp_proof.a, p.ipp_proof.b))
+            for p in proofs)
+        native_out = fused_params_assembly(
+            chal, prf, b"".join(wt_digests), nb, lg, n, m)
+        if native_out is not None:
+            params, bbB_per_proof = native_out
+            return (params, bbB_per_proof,
+                    _dyn_words(proofs, value_commitments, dev_decompress),
+                    m, lg)
 
     # ---- batched inversions: y, every u, and (y-1) for the delta
     # geometric series — one Montgomery-trick pass for the whole batch
@@ -323,10 +354,7 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     for i, (proof, r) in enumerate(zip(proofs, replays)):
         y, z, x, w, c, u = r["y"], r["z"], r["x"], r["w"], r["c"], r["u"]
         a, b = proof.ipp_proof.a % L, proof.ipp_proof.b % L
-        wt = scalar.from_bytes_mod_order_wide(
-            hashlib.sha3_512(entropy + i.to_bytes(8, "little")
-                             + proof.to_bytes()).digest()
-        )
+        wt = scalar.from_bytes_mod_order_wide(wt_digests[i])
         zz = z * z % L
         u_inv = u_invs[i]
         allinv = 1
@@ -371,27 +399,34 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     bbB_per_proof = np.frombuffer(b"".join(bbB_rows), np.uint32).reshape(
         nb, 2, 8)
 
-    # ---- dyn points
+    return (params, bbB_per_proof,
+            _dyn_words(proofs, value_commitments, dev_decompress), m, lg)
+
+
+def _dyn_words(proofs, value_commitments, dev_decompress: bool) -> np.ndarray:
+    """Per-proof dynamic points as device upload words: raw 32-byte
+    encodings (8, D) when the Pallas decompress kernel decodes on device,
+    canonical coordinate words (4, 8, D) via the threaded native host
+    decompress otherwise."""
+    from ..oracle.ristretto import decompress_many
+
     all_compressed = []
     for proof, vcs in zip(proofs, value_commitments):
         all_compressed.extend(proof.dyn_compressed(vcs))
     if dev_decompress:
         # raw encodings, decoded+validated by the Pallas decompress kernel
-        dyn_words = np.ascontiguousarray(
+        return np.ascontiguousarray(
             np.frombuffer(b"".join(all_compressed), np.uint32)
             .reshape(len(all_compressed), 8).T
         )
-    else:
-        # ground-truth path: one threaded native decompress on the host
-        dyn_pts = decompress_many(all_compressed)
-        from .pallas_msm import point_words
-        dyn_words = np.empty((len(dyn_pts), 4, 8), np.uint32)
-        for i, p in enumerate(dyn_pts):
-            w_c = getattr(p, "_words", None)
-            dyn_words[i] = w_c if w_c is not None else point_words(p.ep)
-        dyn_words = np.ascontiguousarray(dyn_words.transpose(1, 2, 0))
-
-    return params, bbB_per_proof, dyn_words, m, lg
+    # ground-truth path: one threaded native decompress on the host
+    dyn_pts = decompress_many(all_compressed)
+    from .pallas_msm import point_words
+    dyn_words = np.empty((len(dyn_pts), 4, 8), np.uint32)
+    for i, p in enumerate(dyn_pts):
+        w_c = getattr(p, "_words", None)
+        dyn_words[i] = w_c if w_c is not None else point_words(p.ep)
+    return np.ascontiguousarray(dyn_words.transpose(1, 2, 0))
 
 
 def sum_bbB(bbB_pp: np.ndarray) -> np.ndarray:
@@ -471,3 +506,71 @@ def batch_verify_device(proofs, bp_gens, pc_gens, transcripts,
     return RistrettoPoint(
         combine_window_totals(packed[:, :, :-1], wbits)
     ).is_identity()
+
+
+def batch_verify_device_pipelined(batches, bp_gens, pc_gens, n: int,
+                                  entropies=None,
+                                  interpret: bool | None = None,
+                                  dev_decompress: bool | None = None,
+                                  timings: dict | None = None) -> list[bool]:
+    """Steady-state serving path: verify a stream of proof batches with the
+    host assembly of batch k+1 overlapped against the device execution of
+    batch k.  The axon tunnel defers execution to the fetch RPC, which
+    blocks in C and releases the GIL, and the assembly is native
+    (fused_params_assembly + strobe replay, both GIL-releasing ctypes), so
+    one worker thread hides min(host, device) per batch — the fetch itself
+    stays on the calling thread (a worker-thread fetch contends with the
+    tunnel: docs/ROUND3-NOTES.md).
+
+    batches: list of (proofs, transcripts, value_commitments) tuples.
+    entropies: optional per-batch weight entropy (defaults to a counter).
+    Returns one bool per batch, identical to batch_verify_device on each.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..oracle.ristretto import RistrettoPoint
+    from .pallas_msm import best_wbits, combine_window_totals
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if dev_decompress is None:
+        dev_decompress = not interpret
+    if entropies is None:
+        entropies = [bytes([k % 255 + 1]) * 32 for k in range(len(batches))]
+
+    def prep(k: int):
+        proofs, transcripts, vcs = batches[k]
+        params, bbB_pp, dyn, m, lg = prepare_batch_inputs(
+            proofs, bp_gens, pc_gens, transcripts, vcs, n,
+            entropies[k], dev_decompress,
+        )
+        return params, sum_bbB(bbB_pp), dyn, m, lg, len(proofs)
+
+    results: list[bool] = []
+    t0 = _time.perf_counter()
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(prep, 0)
+        for k in range(len(batches)):
+            params, bbB, dyn, m, lg, nb = fut.result()
+            total = 2 + 2 * n * m + nb * (4 + 2 * lg + m)
+            wbits = best_wbits(_padded_size(total))
+            static_words = static_gens_words(bp_gens, pc_gens, n, m)
+            out_dev = batch_msm_totals(
+                static_words, jnp.asarray(dyn), jnp.asarray(params),
+                jnp.asarray(bbB), n, m, lg, wbits, interpret,
+                dev_decompress,
+            )
+            if k + 1 < len(batches):
+                fut = ex.submit(prep, k + 1)
+            packed = np.asarray(out_dev)   # fetch = execute on the tunnel
+            if int(packed[0, 0, -1]) == 0:
+                results.append(False)
+            else:
+                results.append(RistrettoPoint(
+                    combine_window_totals(packed[:, :, :-1], wbits)
+                ).is_identity())
+    if timings is not None:
+        timings["total_s"] = _time.perf_counter() - t0
+        timings["batches"] = len(batches)
+    return results

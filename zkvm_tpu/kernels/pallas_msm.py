@@ -213,11 +213,26 @@ def best_wbits(n: int) -> int:
     HBM-resident bucket-array materialization.  The 3.5 weight is fitted to
     on-chip measurements (v5e, 2026-08-17): 2^18 w13=574ms ~ w14=551ms
     (crossover pins the ratio), w16=1501ms; 2^16 w13=121ms; 2^14 w12=54ms.
-    The old 2n-adds model chose w=16 at 2^18 - 2.7x slower than w=14."""
+    The old 2n-adds model chose w=16 at 2^18 - 2.7x slower than w=14.
+
+    Buckets beyond ~8192/window leave the cheap regime (the HBM bucket
+    array stops fitting the fold's working set): 2^18 w16 measured 1501 ms
+    vs the linear model's ~600 ms, and 2^20 w16 measured 6,792 ms
+    (2026-08-18 ledger) where w14 measures ~2 s.  Fitted spill penalty:
+    ~50 base-units per bucket beyond 8192 reproduces the 2^18 w14/w16
+    ratio and keeps w<=14 at 2^20.
+
+    MSMs at/above ZKVM_MSM_SPLIT_N run as sub-MSMs of half that size
+    (window_totals chunk dispatch), so the optimum is the sub-MSM's."""
+    sub_n = _chunk_sub_n(n)
+    if sub_n is not None:
+        n = sub_n
     best, best_cost = 8, None
     for w in range(8, 21):
         nw = num_windows(w)
-        cost = nw * (2 * n + 7 * (1 << (w - 1)))
+        nbuckets = 1 << (w - 1)
+        cost = nw * (2 * n + 7 * min(nbuckets, 8192)
+                     + 50 * max(0, nbuckets - 8192))
         if best_cost is None or cost < best_cost:
             best, best_cost = w, cost
     return best
@@ -578,7 +593,16 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
                        interpret: bool) -> PointBatch:
     """Sequential-chunk bucket pipeline; requires n % (SEQ_LANES *
     SEQ_BLOCK) == 0 (pad_batch_lm's power-of-two padding satisfies this
-    from n >= 4096)."""
+    from n >= 4096).
+
+    Windows are mutually independent, and the pipeline materializes
+    several (NLIMBS, nwg, K, M) HBM temps (gathered points, scan values,
+    plus one XLA relayout copy that pads the tiny window axis 6.4x) — at
+    2^20 points x 19 windows that is >15 GB and the compile OOMs HBM
+    (measured 2026-08-18).  So the window axis is processed in groups of
+    nwg = ZKVM_SEQ_GROUP_ELEMS / n windows via lax.map (one compiled body,
+    HBM bounded by a single group); sizes whose full window set fits keep
+    the single-shot graph (and its persistent-cache entry)."""
     nw = digits.shape[1]
     nbuckets = 1 << (wbits - 1)
     n = digits.shape[0]
@@ -586,86 +610,115 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
     K = n // M
 
     dT = digits.T                                      # (nw, n)
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nw, n))
-    sorted_key, perm = jax.lax.sort_key_val(jnp.abs(dT), idx, dimension=1)
-    sorted_sign = jnp.take_along_axis(dT < 0, perm, axis=1)
-    changed = sorted_key[:, 1:] != sorted_key[:, :-1]
-    ones = jnp.ones((nw, 1), jnp.bool_)
-    start = jnp.concatenate([ones, changed], axis=1)   # (nw, n)
-    is_end = jnp.concatenate([changed, ones], axis=1)
 
-    def lr(a):
-        """Sorted order -> lane-run layout: position p = m*K + k -> [k, m]."""
-        return a.reshape(nw, M, K).transpose(0, 2, 1)
+    def group_totals(dT_g: jnp.ndarray) -> PointBatch:
+        nwg = dT_g.shape[0]
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nwg, n))
+        sorted_key, perm = jax.lax.sort_key_val(
+            jnp.abs(dT_g), idx, dimension=1)
+        sorted_sign = jnp.take_along_axis(dT_g < 0, perm, axis=1)
+        changed = sorted_key[:, 1:] != sorted_key[:, :-1]
+        ones = jnp.ones((nwg, 1), jnp.bool_)
+        start = jnp.concatenate([ones, changed], axis=1)   # (nwg, n)
+        is_end = jnp.concatenate([changed, ones], axis=1)
 
-    perm_l = lr(perm)
-    pts = PointBatch(
-        jnp.take(points.x, perm_l, axis=1),            # (NLIMBS, nw, K, M)
-        jnp.take(points.y, perm_l, axis=1),
-        jnp.take(points.z, perm_l, axis=1),
-        jnp.take(points.t, perm_l, axis=1),
-    )
-    pts = cneg_lm(pts, lr(sorted_sign))
-    start_l = lr(start).astype(jnp.int32)
+        def lr(a):
+            """Sorted order -> lane-run layout: p = m*K + k -> [k, m]."""
+            return a.reshape(nwg, M, K).transpose(0, 2, 1)
 
-    scanned = _seq_segmented_scan(pts, start_l[None], interpret)
+        perm_l = lr(perm)
+        pts = PointBatch(
+            jnp.take(points.x, perm_l, axis=1),        # (NLIMBS, nwg, K, M)
+            jnp.take(points.y, perm_l, axis=1),
+            jnp.take(points.z, perm_l, axis=1),
+            jnp.take(points.t, perm_l, axis=1),
+        )
+        pts = cneg_lm(pts, lr(sorted_sign))
+        start_l = lr(start).astype(jnp.int32)
 
-    # cross-lane incoming prefixes from the per-lane tails
-    tails = PointBatch(scanned.x[:, :, K - 1, :], scanned.y[:, :, K - 1, :],
-                       scanned.z[:, :, K - 1, :], scanned.t[:, :, K - 1, :])
-    tail_flag = jnp.max(start_l, axis=1)               # (nw, M)
-    incoming = _lane_scan(tails, tail_flag, interpret)
+        scanned = _seq_segmented_scan(pts, start_l[None], interpret)
 
-    # fixup: at most one segment end per lane precedes the lane's first
-    # start flag; only those positions need the incoming prefix added
-    has = jnp.max(start_l, axis=1) > 0
-    first = jnp.where(has, jnp.argmax(start_l, axis=1), K)  # (nw, M)
-    e = first - 1
-    e_cl = jnp.clip(e, 0, K - 1)
-    iend_l = lr(is_end).astype(jnp.int32)
-    end_at_e = jnp.take_along_axis(iend_l, e_cl[:, None, :], axis=1)[:, 0, :]
-    need = (e >= 0) & (e <= K - 1) & (end_at_e != 0)
+        # cross-lane incoming prefixes from the per-lane tails
+        tails = PointBatch(
+            scanned.x[:, :, K - 1, :], scanned.y[:, :, K - 1, :],
+            scanned.z[:, :, K - 1, :], scanned.t[:, :, K - 1, :])
+        tail_flag = jnp.max(start_l, axis=1)           # (nwg, M)
+        incoming = _lane_scan(tails, tail_flag, interpret)
 
-    def gather_e(c):
-        return jnp.take_along_axis(c, e_cl[None, :, None, :], axis=2)[:, :, 0, :]
+        # fixup: at most one segment end per lane precedes the lane's first
+        # start flag; only those positions need the incoming prefix added
+        has = jnp.max(start_l, axis=1) > 0
+        first = jnp.where(has, jnp.argmax(start_l, axis=1), K)  # (nwg, M)
+        e = first - 1
+        e_cl = jnp.clip(e, 0, K - 1)
+        iend_l = lr(is_end).astype(jnp.int32)
+        end_at_e = jnp.take_along_axis(
+            iend_l, e_cl[:, None, :], axis=1)[:, 0, :]
+        need = (e >= 0) & (e <= K - 1) & (end_at_e != 0)
 
-    val_e = PointBatch(gather_e(scanned.x), gather_e(scanned.y),
-                       gather_e(scanned.z), gather_e(scanned.t))
-    fixed = point_add_lm(incoming, val_e, interpret)
-    sel = need[None]
-    newv = PointBatch(
-        jnp.where(sel, fixed.x, val_e.x), jnp.where(sel, fixed.y, val_e.y),
-        jnp.where(sel, fixed.z, val_e.z), jnp.where(sel, fixed.t, val_e.t),
-    )
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (nw, K, M), 1)
-    put = (k_iota == e_cl[:, None, :]) & need[:, None, :]   # (nw, K, M)
-    scanned = PointBatch(
-        jnp.where(put[None], newv.x[:, :, None, :], scanned.x),
-        jnp.where(put[None], newv.y[:, :, None, :], scanned.y),
-        jnp.where(put[None], newv.z[:, :, None, :], scanned.z),
-        jnp.where(put[None], newv.t[:, :, None, :], scanned.t),
-    )
+        def gather_e(c):
+            return jnp.take_along_axis(
+                c, e_cl[None, :, None, :], axis=2)[:, :, 0, :]
 
-    # scatter segment totals into per-window bucket arrays (targets in the
-    # same lane-run layout as the scan values; scatters don't care)
-    stride = nbuckets + 2
-    target = jnp.where(is_end, sorted_key, nbuckets + 1)
-    window_ids = jax.lax.broadcasted_iota(jnp.int32, (nw, K, M), 0)
-    flat_target = (window_ids * stride + lr(target)).reshape(-1)
-    buckets = identity_lm((nw * stride,))
-    buckets = PointBatch(
-        buckets.x.at[:, flat_target].set(scanned.x.reshape(NLIMBS, -1)),
-        buckets.y.at[:, flat_target].set(scanned.y.reshape(NLIMBS, -1)),
-        buckets.z.at[:, flat_target].set(scanned.z.reshape(NLIMBS, -1)),
-        buckets.t.at[:, flat_target].set(scanned.t.reshape(NLIMBS, -1)),
-    )
-    buckets = PointBatch(
-        buckets.x.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
-        buckets.y.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
-        buckets.z.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
-        buckets.t.reshape(NLIMBS, nw, stride)[:, :, 1: nbuckets + 1],
-    )
-    return _weighted_fold_seq(buckets, interpret)
+        val_e = PointBatch(gather_e(scanned.x), gather_e(scanned.y),
+                           gather_e(scanned.z), gather_e(scanned.t))
+        fixed = point_add_lm(incoming, val_e, interpret)
+        sel = need[None]
+        newv = PointBatch(
+            jnp.where(sel, fixed.x, val_e.x),
+            jnp.where(sel, fixed.y, val_e.y),
+            jnp.where(sel, fixed.z, val_e.z),
+            jnp.where(sel, fixed.t, val_e.t),
+        )
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (nwg, K, M), 1)
+        put = (k_iota == e_cl[:, None, :]) & need[:, None, :]  # (nwg, K, M)
+        scanned = PointBatch(
+            jnp.where(put[None], newv.x[:, :, None, :], scanned.x),
+            jnp.where(put[None], newv.y[:, :, None, :], scanned.y),
+            jnp.where(put[None], newv.z[:, :, None, :], scanned.z),
+            jnp.where(put[None], newv.t[:, :, None, :], scanned.t),
+        )
+
+        # scatter segment totals into per-window bucket arrays (targets in
+        # the same lane-run layout as the scan values; scatters don't care)
+        stride = nbuckets + 2
+        target = jnp.where(is_end, sorted_key, nbuckets + 1)
+        window_ids = jax.lax.broadcasted_iota(jnp.int32, (nwg, K, M), 0)
+        flat_target = (window_ids * stride + lr(target)).reshape(-1)
+        buckets = identity_lm((nwg * stride,))
+        buckets = PointBatch(
+            buckets.x.at[:, flat_target].set(scanned.x.reshape(NLIMBS, -1)),
+            buckets.y.at[:, flat_target].set(scanned.y.reshape(NLIMBS, -1)),
+            buckets.z.at[:, flat_target].set(scanned.z.reshape(NLIMBS, -1)),
+            buckets.t.at[:, flat_target].set(scanned.t.reshape(NLIMBS, -1)),
+        )
+        buckets = PointBatch(
+            buckets.x.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
+            buckets.y.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
+            buckets.z.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
+            buckets.t.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
+        )
+        return _weighted_fold_seq(buckets, interpret)
+
+    # nwg*n caps the live HBM temps; 6M elements keeps the measured-good
+    # 2^18 x 19-window shape single-shot while 2^20 runs 4 groups of 6
+    max_elems = int(_os.environ.get("ZKVM_SEQ_GROUP_ELEMS", str(6 << 20)))
+    nwg = max(1, min(nw, max_elems // max(n, 1)))
+    if nwg >= nw:
+        return group_totals(dT)
+    ngroups = -(-nw // nwg)
+    pad = ngroups * nwg - nw
+    # zero-digit padding windows scatter only into the dropped slot 0 of
+    # the bucket array, so their totals are the identity and slicing them
+    # off below is exact
+    dT_p = jnp.pad(dT, ((0, pad), (0, 0)))
+    outs = jax.lax.map(group_totals, dT_p.reshape(ngroups, nwg, n))
+
+    def unstack(c):  # (ngroups, NLIMBS, nwg) -> (NLIMBS, nw)
+        return jnp.moveaxis(c, 0, 1).reshape(NLIMBS, ngroups * nwg)[:, :nw]
+
+    return PointBatch(unstack(outs.x), unstack(outs.y),
+                      unstack(outs.z), unstack(outs.t))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -680,8 +733,47 @@ def window_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
 
     Dispatch: the sequential-chunk pipeline for batch sizes it tiles
     (n % 4096 == 0 — pad_batch_lm's power-of-two padding guarantees this
-    above 2^12); the associative-scan pipeline for small batches."""
+    above 2^12); the associative-scan pipeline for small batches.
+
+    Above ZKVM_MSM_SPLIT_N points the MSM runs as independent sub-MSMs of
+    that size whose window totals Edwards-add (an MSM is a sum).  The
+    measured per-point rate PEAKS at 2^16 (v5e, 2026-08-18: 0.53 Mpts/s at
+    2^16 vs 0.48 at 2^18 and 0.26 at 2^20 — the per-window XLA sort is
+    superlinear and the big shapes relayout-copy), so one lax.map over
+    2^16-point sub-MSMs plus a lg(nch) fold is faster than any single-shot
+    big shape AND keeps HBM flat."""
     n = digits.shape[0]
+    split_n = int(_os.environ.get("ZKVM_MSM_SPLIT_N", str(1 << 17)))
+    sub_n = split_n // 2
+    if n >= split_n and n % sub_n == 0 and sub_n % (
+            SEQ_LANES * SEQ_BLOCK) == 0:
+        nch = n // sub_n
+        cpts = jnp.stack(
+            [c.reshape(NLIMBS, nch, sub_n).transpose(1, 0, 2)
+             for c in points], axis=1)                 # (nch, 4, NL, sub_n)
+        cdig = digits.reshape(nch, sub_n, -1)
+        outs = jax.lax.map(
+            lambda args: _bucket_totals_seq(
+                PointBatch(args[0][0], args[0][1], args[0][2], args[0][3]),
+                args[1], wbits, interpret),
+            (cpts, cdig))
+        # fold the chunk axis: lg(nch) batched Edwards adds on (NL, c, nw)
+        t = PointBatch(*(jnp.moveaxis(c, 0, 1) for c in outs))
+        c = nch
+        while c > 1:
+            h = c // 2
+            a = PointBatch(t.x[:, :h], t.y[:, :h], t.z[:, :h], t.t[:, :h])
+            b = PointBatch(t.x[:, h:2 * h], t.y[:, h:2 * h],
+                           t.z[:, h:2 * h], t.t[:, h:2 * h])
+            s = point_add_lm(a, b, interpret)
+            if c % 2:
+                t = PointBatch(*(
+                    jnp.concatenate([sc, tc[:, 2 * h:]], axis=1)
+                    for sc, tc in zip(s, t)))
+                c = h + 1
+            else:
+                t, c = s, h
+        return PointBatch(t.x[:, 0], t.y[:, 0], t.z[:, 0], t.t[:, 0])
     if n % (SEQ_LANES * SEQ_BLOCK) == 0 and n > 0:
         return _bucket_totals_seq(points, digits, wbits, interpret)
     return _bucket_totals(points, digits, wbits, interpret)

@@ -132,6 +132,12 @@ def _build_and_load():
         ctypes.c_char_p,
     ]
     lib.rangeproof_scalar_assembly.restype = ctypes.c_int
+    lib.fused_params_assembly.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.fused_params_assembly.restype = ctypes.c_int
     from ..constants import EDWARDS_D2
     lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
@@ -555,3 +561,31 @@ def rangeproof_scalar_assembly(u_challenges, n: int, m: int, y: int,
     h_v = ScalarVec(raw[32 * (2 * lg + nm): 32 * (2 * lg + 2 * nm)], nm)
     delta_val = int.from_bytes(raw[-32:], "little")
     return u_sq, u_inv_sq, g_v, h_v, delta_val
+
+
+def fused_params_assembly(chal_blob: bytes, prf_blob: bytes,
+                          wt_wide_blob: bytes, nb: int, lg: int,
+                          n: int, m: int):
+    """Whole-batch verification-params assembly (scalarvec.cpp): from the
+    per-proof transcript challenges, proof scalars, and weight hashes,
+    emit the packed (nb, 13+2lg, 8)-u32 channel params and (nb, 2, 8)-u32
+    weighted [B_blinding, B] rows in one native call.  Returns
+    (params, bbB) numpy arrays, or None when the native library is
+    unavailable or an input challenge is zero (caller falls back to the
+    Python path for the canonical error)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = 13 + 2 * lg
+    params = ctypes.create_string_buffer(nb * c * 32)
+    bbB = ctypes.create_string_buffer(nb * 2 * 32)
+    rc = lib.fused_params_assembly(
+        chal_blob, prf_blob, wt_wide_blob, nb, lg, n, m, params, bbB)
+    if rc != 0:
+        return None
+    return (
+        np.frombuffer(params.raw, np.uint32).reshape(nb, c, 8).copy(),
+        np.frombuffer(bbB.raw, np.uint32).reshape(nb, 2, 8).copy(),
+    )

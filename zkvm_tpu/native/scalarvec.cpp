@@ -454,3 +454,188 @@ extern "C" int rangeproof_scalar_assembly(
     store4(out + 32 * (2 * lg + 2 * nm), acc);
     return 0;
 }
+
+
+// ---------------------------------------------------------------------------
+// Fused BATCH verification-params assembly for the device batch-verify path
+// (kernels/batch_verify_device.py::prepare_batch_inputs).  The per-proof
+// Python big-int chain (~25 mod-l muls + the delta series per proof) was
+// ~half of the remaining host floor at nb=1024; this emits every channel
+// scalar for the whole batch in ONE call, with a single Montgomery-trick
+// batch inversion across all proofs' (u_j, y, y-1) — bit-identical to the
+// Python path's shared scalar.batch_invert.  Upstream seam: the same
+// per-proof scalars assembled inside `RangeProof::verify_multiple`
+// (bulletproofs/src/range_proof/mod.rs [U]).
+//
+// chal:    nb*(5+lg)*32  canonical LE per proof: y, z, x, w, c, u[0..lg)
+// prf:     nb*5*32       per proof: t_x, t_x_blinding, e_blinding, a, b
+// wt_wide: nb*64         per-proof random-weight hash (reduced wide here)
+// params_out: nb*(13+2*lg)*32 channel scalars, canonical, in the layout of
+//             pack_verification_params: [wz, wz_neg, wa_neg, wzz, wb_neg,
+//             y_inv, z, allinv, wt, wt_cx, wt_cxx, wczz, u_sq[lg],
+//             u_inv_sq[lg], wt_x]
+// bbB_out:    nb*2*32  per-proof weighted [B_blinding, B] scalars:
+//             wt * -(e_blinding + c*t_x_blinding),
+//             wt * (w*(t_x - a*b) + c*(delta - t_x))
+// Returns 0, or -1 on a zero u/y challenge or bad sizes (caller falls back
+// to the Python path, which raises the canonical error).
+
+extern "C" int fused_params_assembly(
+    const uint8_t* chal, const uint8_t* prf, const uint8_t* wt_wide,
+    int nb, int lg, uint64_t n, uint64_t m,
+    uint8_t* params_out, uint8_t* bbB_out) {
+    if (nb <= 0 || lg < 0 || lg > 20) return -1;
+    const uint64_t nm = n * m;
+    if (nm != (1ull << lg)) return -1;
+    const int CH = 5 + lg;
+    const int C = 13 + 2 * lg;
+    const u64 one[4] = {1, 0, 0, 0};
+    const u64 zero4[4] = {0, 0, 0, 0};
+
+    // Montgomery forms + ONE global batch inversion over nb*(lg+2) elements
+    const int per = lg + 2;  // u[0..lg), y, (y-1 or 1)
+    const size_t cnt = (size_t)nb * per;
+    std::vector<u64> mont(4 * (size_t)nb * CH), el(4 * cnt),
+        pre(4 * (cnt + 1)), invs(4 * cnt);
+    for (int i = 0; i < nb; i++) {
+        for (int j = 0; j < CH; j++) {
+            u64 t[4];
+            load4(t, chal + 32 * ((size_t)i * CH + j));
+            to_mont(&mont[4 * ((size_t)i * CH + j)], t);
+        }
+        const u64* ym = &mont[4 * ((size_t)i * CH)];
+        u64* e0 = &el[4 * (size_t)i * per];
+        for (int j = 0; j < lg; j++) {
+            const u64* uj = &mont[4 * ((size_t)i * CH + 5 + j)];
+            if (is_zero4(uj)) return -1;
+            memcpy(&e0[4 * j], uj, 32);
+        }
+        if (is_zero4(ym)) return -1;
+        memcpy(&e0[4 * lg], ym, 32);
+        u64 ym1[4];
+        submod(ym1, ym, ONE_M);
+        if (is_zero4(ym1)) memcpy(ym1, ONE_M, 32);  // y==1: invert 1 (parity
+        // with the Python path's `(y - 1) % L or 1` guard)
+        memcpy(&e0[4 * (lg + 1)], ym1, 32);
+    }
+    memcpy(&pre[0], ONE_M, 32);
+    for (size_t i = 0; i < cnt; i++)
+        mont_mul(&pre[4 * (i + 1)], &pre[4 * i], &el[4 * i]);
+    u64 run[4];
+    mont_pow_lm2(run, &pre[4 * cnt]);
+    for (size_t i = cnt; i-- > 0;) {
+        mont_mul(&invs[4 * i], run, &pre[4 * i]);
+        mont_mul(run, run, &el[4 * i]);
+    }
+
+    // batch-constant: 2^n - 1 and the Montgomery form of 2
+    u64 twom[4], sum2m[4];
+    { const u64 two[4] = {2, 0, 0, 0}; to_mont(twom, two); }
+    memcpy(sum2m, ONE_M, 32);
+    for (uint64_t i = 0; i < n; i++) mont_mul(sum2m, sum2m, twom);
+    submod(sum2m, sum2m, ONE_M);
+
+    for (int i = 0; i < nb; i++) {
+        const u64* ym = &mont[4 * ((size_t)i * CH + 0)];
+        const u64* zm = &mont[4 * ((size_t)i * CH + 1)];
+        const u64* xm = &mont[4 * ((size_t)i * CH + 2)];
+        const u64* wm = &mont[4 * ((size_t)i * CH + 3)];
+        const u64* cm = &mont[4 * ((size_t)i * CH + 4)];
+        const u64* um = &mont[4 * ((size_t)i * CH + 5)];
+        const u64* uinv = &invs[4 * (size_t)i * per];
+        const u64* yinv = &invs[4 * ((size_t)i * per + lg)];
+        const u64* ym1inv = &invs[4 * ((size_t)i * per + lg + 1)];
+
+        u64 txm[4], txbm[4], ebm[4], am[4], bm[4], t[4], t2[4];
+        load4(t, prf + 32 * (5 * (size_t)i + 0)); to_mont(txm, t);
+        load4(t, prf + 32 * (5 * (size_t)i + 1)); to_mont(txbm, t);
+        load4(t, prf + 32 * (5 * (size_t)i + 2)); to_mont(ebm, t);
+        load4(t, prf + 32 * (5 * (size_t)i + 3)); to_mont(am, t);
+        load4(t, prf + 32 * (5 * (size_t)i + 4)); to_mont(bm, t);
+        u64 wtm[4];
+        uint8_t wtb[32];
+        sv_from_wide(wt_wide + 64 * (size_t)i, wtb);
+        load4(t, wtb); to_mont(wtm, t);
+
+        uint8_t* row = params_out + 32 * (size_t)i * C;
+        u64 zz[4], v[4], o[4];
+        mont_mul(zz, zm, zm);
+        // [0] wz  [1] wz_neg
+        mont_mul(v, wtm, zm);
+        mont_mul(o, v, one); store4(row, o);
+        submod(v, zero4, v); mont_mul(o, v, one); store4(row + 32, o);
+        // [2] wa_neg
+        mont_mul(v, wtm, am); submod(v, zero4, v);
+        mont_mul(o, v, one); store4(row + 64, o);
+        // [3] wzz
+        mont_mul(v, wtm, zz); mont_mul(o, v, one); store4(row + 96, o);
+        // [4] wb_neg
+        mont_mul(v, wtm, bm); submod(v, zero4, v);
+        mont_mul(o, v, one); store4(row + 128, o);
+        // [5] y_inv  [6] z
+        mont_mul(o, yinv, one); store4(row + 160, o);
+        mont_mul(o, zm, one); store4(row + 192, o);
+        // [7] allinv
+        u64 ai[4];
+        memcpy(ai, ONE_M, 32);
+        for (int j = 0; j < lg; j++) mont_mul(ai, ai, &uinv[4 * j]);
+        mont_mul(o, ai, one); store4(row + 224, o);
+        // [8] wt
+        mont_mul(o, wtm, one); store4(row + 256, o);
+        // [9] wt_cx  [10] wt_cxx
+        u64 wc[4];
+        mont_mul(wc, wtm, cm);
+        mont_mul(v, wc, xm); mont_mul(o, v, one); store4(row + 288, o);
+        mont_mul(v, v, xm); mont_mul(o, v, one); store4(row + 320, o);
+        // [11] wczz
+        mont_mul(v, wc, zz); mont_mul(o, v, one); store4(row + 352, o);
+        // u_sq / u_inv_sq
+        for (int j = 0; j < lg; j++) {
+            mont_mul(v, &um[4 * j], &um[4 * j]);
+            mont_mul(o, v, one); store4(row + 32 * (12 + j), o);
+            mont_mul(v, &uinv[4 * j], &uinv[4 * j]);
+            mont_mul(o, v, one); store4(row + 32 * (12 + lg + j), o);
+        }
+        // [12+2lg] wt_x
+        mont_mul(v, wtm, xm);
+        mont_mul(o, v, one); store4(row + 32 * (12 + 2 * lg), o);
+
+        // delta(n, m, y, z): geometric sum_y via the shared (y-1) inverse
+        u64 ynm[4], sumy[4];
+        memcpy(ynm, ym, 32);
+        for (int j = 0; j < lg; j++) mont_mul(ynm, ynm, ynm);
+        if (memcmp(ym, ONE_M, 32) == 0) {
+            // y==1: the series is nm (unreachable for transcript
+            // challenges; kept for Python-path parity)
+            const u64 nm4[4] = {nm, 0, 0, 0};
+            to_mont(sumy, nm4);
+        } else {
+            submod(t, ynm, ONE_M);
+            mont_mul(sumy, t, ym1inv);
+        }
+        u64 acc[4], zexp[4];
+        submod(acc, zm, zz);
+        mont_mul(acc, acc, sumy);
+        mont_mul(zexp, zz, zm);
+        for (uint64_t j = 0; j < m; j++) {
+            mont_mul(t, zexp, sum2m);
+            submod(acc, acc, t);
+            mont_mul(zexp, zexp, zm);
+        }
+        // bbB: wt*bb_s, wt*b_s
+        u64 bs[4], bbs[4];
+        mont_mul(t, am, bm);
+        submod(t, txm, t);           // t_x - a*b
+        mont_mul(bs, wm, t);
+        submod(t, acc, txm);         // delta - t_x
+        mont_mul(t2, cm, t);
+        addmod(bs, bs, t2);
+        mont_mul(t, cm, txbm);
+        addmod(t, t, ebm);
+        submod(bbs, zero4, t);       // -(e_blinding + c*t_x_blinding)
+        uint8_t* brow = bbB_out + 64 * (size_t)i;
+        mont_mul(v, wtm, bbs); mont_mul(o, v, one); store4(brow, o);
+        mont_mul(v, wtm, bs); mont_mul(o, v, one); store4(brow + 32, o);
+    }
+    return 0;
+}
