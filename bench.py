@@ -25,7 +25,7 @@ Reliability: TPU compile/load through the axon tunnel varies minutes to
 with a hard timeout; if every device attempt fails, a host-path measurement
 is emitted instead so the driver always gets a JSON line.
 
-Env knobs: BENCH_SWEEP="14,16,18", BENCH_NB="256,1024" (batch sizes),
+Env knobs: BENCH_SWEEP="14,16,18,20", BENCH_NB="1024,4096" (batch sizes),
 BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 900),
 BENCH_SKIP_EFF=1 / BENCH_SKIP_SWEEP=1 to trim.
 """
@@ -629,7 +629,7 @@ def main():
             print("# --onchip-now: device unreachable", file=sys.stderr)
             return
         for nb in [int(s) for s in
-                   os.environ.get("BENCH_NB", "256,1024").split(",") if s]:
+                   os.environ.get("BENCH_NB", "1024,4096").split(",") if s]:
             d = _run_child("batch", str(nb))
             if d and d["platform"] in ("tpu", "axon"):
                 vps = d["nb"] / d["best_s"]
@@ -682,7 +682,7 @@ def main():
     sweep = []
     if not os.environ.get("BENCH_SKIP_SWEEP"):
         sizes = [int(s) for s in
-                 os.environ.get("BENCH_SWEEP", "14,16,18").split(",") if s]
+                 os.environ.get("BENCH_SWEEP", "14,16,18,20").split(",") if s]
         for i, log_n in enumerate(sizes):
             env = {"_BENCH_PARITY": "1"} if i == 0 else None
             d = _run_child("msm", str(log_n), extra_env=env)
@@ -718,7 +718,7 @@ def main():
     # 2) end-to-end batched verification (the headline)
     value = None
     batches = [int(s) for s in
-               os.environ.get("BENCH_NB", "256,1024").split(",") if s]
+               os.environ.get("BENCH_NB", "1024,4096").split(",") if s]
     if not device_ok:
         batches = []
     best_batch = None

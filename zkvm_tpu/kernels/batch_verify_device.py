@@ -301,11 +301,25 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     nm = n * m
     lg = nm.bit_length() - 1
 
-    # ---- transcript replays (native fused strobe) + proof validation
-    replays = []
-    for proof, transcript, vcs in zip(proofs, transcripts, value_commitments):
-        parts = proof._replay_challenges(bp_gens, pc_gens, transcript, vcs, n)
-        replays.append(parts)
+    # ---- transcript replays (native fused strobe) + proof validation.
+    # raw mode returns the canonical challenge blob with zero int
+    # round-trips; the native call releases the GIL, so the per-proof loop
+    # threads ~linearly on spare cores (the replay was ~2/3 of host prep).
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _replay(args):
+        proof, transcript, vcs = args
+        return proof._replay_challenges(
+            bp_gens, pc_gens, transcript, vcs, n, raw=True)
+
+    triples = list(zip(proofs, transcripts, value_commitments))
+    workers = int(_os.environ.get("ZKVM_HOST_THREADS", "1"))
+    if nb >= 64 and workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            replays = list(ex.map(_replay, triples, chunksize=32))
+    else:
+        replays = [_replay(t) for t in triples]
 
     # ---- per-proof random weights (the batching randomness)
     wt_digests = [
@@ -318,10 +332,10 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     # fused_params_assembly — batch inversion + ~25 mod-ℓ muls/proof); the
     # Python chain below is the bit-exact fallback/ground truth
     # (ZKVM_TPU_PY_PARAMS=1 forces it; tests assert agreement)
-    import os as _os
     if not _os.environ.get("ZKVM_TPU_PY_PARAMS"):
         from ..native import fused_params_assembly
         chal = b"".join(
+            r["raw"] if "raw" in r else
             b"".join((int(v) % L).to_bytes(32, "little")
                      for v in (r["y"], r["z"], r["x"], r["w"], r["c"],
                                *r["u"]))
@@ -338,6 +352,19 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
             return (params, bbB_per_proof,
                     _dyn_words(proofs, value_commitments, dev_decompress),
                     m, lg)
+
+    # ---- ground-truth Python path below needs int challenges: unpack any
+    # raw replay blobs (layout y,z,x,w,c,u... — see rangeproof_replay)
+    def _as_ints(r: dict) -> dict:
+        if "raw" not in r:
+            return r
+        raw = r["raw"]
+        vals = [int.from_bytes(raw[32 * i: 32 * i + 32], "little")
+                for i in range(5 + lg)]
+        return {"y": vals[0], "z": vals[1], "x": vals[2], "w": vals[3],
+                "c": vals[4], "u": vals[5:]}
+
+    replays = [_as_ints(r) for r in replays]
 
     # ---- batched inversions: y, every u, and (y-1) for the delta
     # geometric series — one Montgomery-trick pass for the whole batch

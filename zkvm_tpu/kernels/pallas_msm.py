@@ -238,6 +238,17 @@ def best_wbits(n: int) -> int:
     return best
 
 
+def _chunk_sub_n(n: int) -> int | None:
+    """Sub-MSM size when window_totals splits n into independent chunks
+    (must mirror window_totals' dispatch condition exactly), else None."""
+    split_n = int(_os.environ.get("ZKVM_MSM_SPLIT_N", str(1 << 17)))
+    sub_n = split_n // 2
+    if n >= split_n and n % sub_n == 0 and sub_n % (
+            SEQ_LANES * SEQ_BLOCK) == 0:
+        return sub_n
+    return None
+
+
 def _bucket_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
                    interpret: bool) -> PointBatch:
     """All windows' weighted bucket sums: points (NLIMBS, n) limb-major,
@@ -611,11 +622,25 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
 
     dT = digits.T                                      # (nw, n)
 
+    # one (80, n) array so the per-window permutation is ONE XLA gather
+    # instead of four (A/B'd on-chip 2026-08-18: 286 vs 322 ms device at
+    # the nb=4096 batch-verify shape; ~even at nb=1024)
+    stacked = jnp.concatenate([points.x, points.y, points.z, points.t])
+
     def group_totals(dT_g: jnp.ndarray) -> PointBatch:
         nwg = dT_g.shape[0]
-        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nwg, n))
-        sorted_key, perm = jax.lax.sort_key_val(
-            jnp.abs(dT_g), idx, dimension=1)
+        shift = max(n - 1, 1).bit_length()  # index bits
+        if wbits + shift <= 31:
+            # pack (|digit|, index) into one int32 so the sort is a
+            # single-operand sort instead of a key-val pair sort
+            packed = (jnp.abs(dT_g) << shift) | jnp.arange(n, dtype=jnp.int32)
+            sp = jax.lax.sort(packed, dimension=1)
+            sorted_key = sp >> shift
+            perm = sp & ((1 << shift) - 1)
+        else:
+            idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nwg, n))
+            sorted_key, perm = jax.lax.sort_key_val(
+                jnp.abs(dT_g), idx, dimension=1)
         sorted_sign = jnp.take_along_axis(dT_g < 0, perm, axis=1)
         changed = sorted_key[:, 1:] != sorted_key[:, :-1]
         ones = jnp.ones((nwg, 1), jnp.bool_)
@@ -627,12 +652,9 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             return a.reshape(nwg, M, K).transpose(0, 2, 1)
 
         perm_l = lr(perm)
-        pts = PointBatch(
-            jnp.take(points.x, perm_l, axis=1),        # (NLIMBS, nwg, K, M)
-            jnp.take(points.y, perm_l, axis=1),
-            jnp.take(points.z, perm_l, axis=1),
-            jnp.take(points.t, perm_l, axis=1),
-        )
+        g = jnp.take(stacked, perm_l, axis=1)   # (4*NLIMBS, nwg, K, M)
+        pts = PointBatch(g[:NLIMBS], g[NLIMBS:2 * NLIMBS],
+                         g[2 * NLIMBS:3 * NLIMBS], g[3 * NLIMBS:])
         pts = cneg_lm(pts, lr(sorted_sign))
         start_l = lr(start).astype(jnp.int32)
 
@@ -743,10 +765,8 @@ def window_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
     2^16-point sub-MSMs plus a lg(nch) fold is faster than any single-shot
     big shape AND keeps HBM flat."""
     n = digits.shape[0]
-    split_n = int(_os.environ.get("ZKVM_MSM_SPLIT_N", str(1 << 17)))
-    sub_n = split_n // 2
-    if n >= split_n and n % sub_n == 0 and sub_n % (
-            SEQ_LANES * SEQ_BLOCK) == 0:
+    sub_n = _chunk_sub_n(n)
+    if sub_n is not None:
         nch = n // sub_n
         cpts = jnp.stack(
             [c.reshape(NLIMBS, nch, sub_n).transpose(1, 0, 2)

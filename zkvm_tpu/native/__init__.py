@@ -504,10 +504,13 @@ class ScalarVec:
 
 def rangeproof_replay(strobe, rp_label: bytes, ipp_label: bytes, n: int,
                       m: int, v_blob: bytes, header_blob: bytes,
-                      lr_blob: bytes, lg_n: int):
+                      lr_blob: bytes, lg_n: int, want_raw: bool = False):
     """Fused verification-transcript replay (strobe.cpp): advances the
     native strobe through the whole rangeproof + IPP challenge sequence in
-    one call and returns (y, z, x, w, c, [u_0..u_{lg_n-1}]) as ints.
+    one call and returns (y, z, x, w, c, [u_0..u_{lg_n-1}]) as ints — or,
+    with want_raw, the (5+lg_n)*32-byte canonical little-endian blob in
+    that same order (challenge scalars are emitted reduced mod ℓ, so the
+    blob feeds fused_params_assembly without any int round-trip).
     Returns None when the native path is unavailable (pure-Python strobe);
     raises ProofError on an identity point exactly like
     transcript.validate_and_append_point."""
@@ -524,6 +527,8 @@ def rangeproof_replay(strobe, rp_label: bytes, ipp_label: bytes, n: int,
         from ..proofs.errors import ProofError
         raise ProofError("point validation failed: identity")
     raw = out.raw
+    if want_raw:
+        return raw
     vals = [int.from_bytes(raw[32 * i: 32 * (i + 1)], "little")
             for i in range(5 + lg_n)]
     return vals[0], vals[1], vals[2], vals[3], vals[4], vals[5:]

@@ -131,12 +131,18 @@ class RangeProof:
         value_commitments: list[bytes],
         n: int,
         c: int | None = None,
+        raw: bool = False,
     ) -> dict:
         """Validate proof structure and replay the verification transcript;
         returns {"y","z","x","w","c","u"}.  The challenge-only seam shared
         by the host scalar assembly (_job_parts) and the fused device path
         (kernels/batch_verify_device.py), which synthesizes all vector
-        scalars on-chip from exactly these values."""
+        scalars on-chip from exactly these values.
+
+        raw=True (fused-batch fast path; requires the native strobe and no
+        c override) returns {"raw": blob} instead — the (5+lg)*32-byte
+        canonical (y,z,x,w,c,u...) blob, which is byte-identical to what
+        fused_params_assembly consumes, skipping every int round-trip."""
         m = len(value_commitments)
         if n not in (8, 16, 32, 64):
             raise FormatError("invalid bitsize")
@@ -171,7 +177,10 @@ class RangeProof:
                 zip(self.ipp_proof.L_vec, self.ipp_proof.R_vec)
             ),
             lg_nm,
+            want_raw=raw and c is None,
         )
+        if rep is not None and isinstance(rep, bytes):
+            return {"raw": rep}
         if rep is not None:
             y, z, x, w, c_rng, u_challenges = rep
             if c is None:
