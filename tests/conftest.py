@@ -25,6 +25,13 @@ def pytest_configure(config):
         "markers",
         "timeout(n): advisory per-test budget (no-op without pytest-timeout)",
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: slow XLA-CPU compiles (interpret-mode Pallas, sharded-mesh "
+        "shapes, 2^15 R1CS) — excluded from the smoke tier; run the full "
+        "suite with plain `pytest tests/ -n 8`, the smoke tier with "
+        "`pytest tests/ -m 'not heavy' -n 8` (< 8 min)",
+    )
 
 
 @pytest.fixture

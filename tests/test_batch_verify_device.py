@@ -150,6 +150,7 @@ def _make_proofs(nb: int, n: int, m: int, seed: int):
 
 
 @pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2)])
+@pytest.mark.heavy
 def test_batch_verify_device_end_to_end(n, m, nb):
     from zkvm_tpu.kernels.batch_verify_device import batch_verify_device
 
@@ -166,6 +167,7 @@ def test_batch_verify_device_end_to_end(n, m, nb):
     )
 
 
+@pytest.mark.heavy
 def test_batch_verify_device_decompress_on_device():
     """The dev_decompress variant (Pallas ristretto decode, raw 32-byte
     uploads) must accept valid batches and turn an invalid encoding into a
@@ -199,6 +201,7 @@ def test_static_gens_cache():
     assert w3 is not w1 and w3.shape == (4, 8, 2 + 2 * 16)
 
 
+@pytest.mark.heavy
 def test_jax_engine_routes_batch_verify():
     """batch_verify through the installed JaxEngine must take the fused
     path (and still reject a tampered batch)."""
@@ -245,6 +248,32 @@ def test_fused_params_native_vs_python(n, m, nb, monkeypatch):
     assert native[3:] == pure[3:]
 
 
+def test_prepare_batch_threaded_replay_parity(monkeypatch):
+    """ZKVM_HOST_THREADS>1 routes transcript replays through a thread pool
+    (nb >= 64); output must be bit-identical to the sequential path AND to
+    the ZKVM_TPU_PY_PARAMS pure-Python ground truth (ADVICE r3 #2)."""
+    from zkvm_tpu.kernels.batch_verify_device import prepare_batch_inputs
+
+    proofs, _, vcs = _make_proofs(64, 8, 1, seed=21)
+
+    def run():
+        return prepare_batch_inputs(
+            proofs, BP_GENS, PC_GENS,
+            [ProofTranscript(b"fused-batch") for _ in proofs], vcs, 8,
+        )
+
+    sequential = run()
+    monkeypatch.setenv("ZKVM_HOST_THREADS", "4")
+    threaded = run()
+    monkeypatch.setenv("ZKVM_TPU_PY_PARAMS", "1")
+    pure = run()
+    for a, b, c in zip(sequential[:3], threaded[:3], pure[:3]):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+    assert sequential[3:] == threaded[3:] == pure[3:]
+
+
+@pytest.mark.heavy
 def test_batch_verify_pipelined_matches_sequential():
     """The overlapped serving path must return exactly what the one-shot
     path returns per batch, including a corrupted batch -> False."""

@@ -17,6 +17,7 @@ from zkvm_tpu.proofs.rangeproof import RangeProof
 from zkvm_tpu.proofs.transcript import ProofTranscript
 
 
+@pytest.mark.heavy
 def test_checkpointed_msm_resumes(tmp_path):
     r = random.Random(1)
     n = 32

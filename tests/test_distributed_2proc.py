@@ -18,6 +18,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.heavy
 def test_two_process_distributed():
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "_distributed_worker.py")

@@ -31,6 +31,7 @@ def _make_proofs(nb, n, seed):
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.heavy
 def test_sharded_fused_batch_verify():
     from zkvm_tpu.parallel.fused_batch_verify import sharded_batch_verify
     from zkvm_tpu.parallel.mesh import make_mesh

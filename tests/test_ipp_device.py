@@ -32,6 +32,7 @@ def _setup(n, seed, with_factors):
 
 @pytest.mark.parametrize("n,with_factors", [(32, True), (64, False),
                                             (128, True)])
+@pytest.mark.heavy
 def test_device_ipp_create_bit_exact(n, with_factors):
     from zkvm_tpu.kernels.ipp_device import device_ipp_create
 

@@ -34,6 +34,7 @@ def test_signed_digits():
 
 
 @pytest.mark.parametrize("n", [5, 300])
+@pytest.mark.heavy
 def test_msm_device_parity(n):
     r = random.Random(n)
     pts = _rand_points(n, seed=n)
@@ -49,6 +50,7 @@ def test_msm_device_parity(n):
 
 
 @pytest.mark.parametrize("wbits,nbits", [(8, 32), (9, 27)])
+@pytest.mark.heavy
 def test_msm_looped_variant_parity(wbits, nbits):
     """CPU parity for the fori-loop msm_device variant (round-1 verdict:
     Weak #2 asked for both backend variants under test)."""
@@ -76,6 +78,7 @@ def test_msm_looped_variant_parity(wbits, nbits):
 
 
 @pytest.mark.parametrize("wbits", [8, 9])
+@pytest.mark.heavy
 def test_msm_vectorized_variant_parity(wbits):
     """CPU parity for the loop-free TPU variant, in a SUBPROCESS: the XLA
     CPU compiler intermittently segfaults compiling its big unrolled
@@ -129,6 +132,7 @@ def test_msm_vectorized_variant_parity(wbits):
     )
 
 
+@pytest.mark.heavy
 def test_jax_engine_pallas_pipeline_msm():
     """Force the Pallas bucket pipeline (the TPU production path) through
     the engine seam on CPU interpret mode — window_totals + host combine."""
@@ -146,6 +150,7 @@ def test_jax_engine_pallas_pipeline_msm():
     assert (gy * ez - ey * gz) % P == 0
 
 
+@pytest.mark.heavy
 def test_jax_engine_end_to_end_rangeproof():
     """Swap the JAX engine in and run a full rangeproof verify through it.
 

@@ -74,6 +74,7 @@ def test_tree_reduce():
     _eq_points(out, [total])
 
 
+@pytest.mark.heavy
 def test_scalar_mul_parity():
     n = 8
     ps = _rand_points(n, seed=5)
@@ -84,6 +85,7 @@ def test_scalar_mul_parity():
     _eq_points(out, [oe.scalar_mul(k, p) for k, p in zip(ks, ps)])
 
 
+@pytest.mark.heavy
 def test_double_scalar_mul_parity():
     n = 8
     ps = _rand_points(n, seed=7)

@@ -73,6 +73,7 @@ def test_seg_combine_lm_select():
 
 
 @pytest.mark.parametrize("n,wbits,nbits", [(5, 8, 32), (70, 8, 32)])
+@pytest.mark.heavy
 def test_msm_pallas_parity(n, wbits, nbits):
     r = random.Random(n)
     pts = _rand_points(n, seed=n)
@@ -84,6 +85,7 @@ def test_msm_pallas_parity(n, wbits, nbits):
     _assert_proj_eq(got, expect)
 
 
+@pytest.mark.heavy
 def test_msm_pallas_duplicate_points_and_negation():
     """Duplicate base points (shared buckets) + digits hitting the signed
     boundary -2^(w-1)."""
@@ -98,6 +100,7 @@ def test_msm_pallas_duplicate_points_and_negation():
     _assert_proj_eq(got, expect)
 
 
+@pytest.mark.heavy
 def test_msm_pallas_unrolled_combine_matches():
     """The TPU (unrolled) window combine must agree with the rolled one."""
     n = 20
@@ -138,6 +141,7 @@ def test_combine_window_totals_parity(wbits, nw):
     _assert_proj_eq(acc, expect)
 
 
+@pytest.mark.heavy
 def test_msm_split_path_full_width():
     """window_totals + combine at full 256-bit scalars (the production
     path), small n so interpret mode stays fast."""
@@ -165,6 +169,7 @@ def test_signed_digits_nbits_truncation():
 
 
 @pytest.mark.parametrize("wbits", [8, 9])
+@pytest.mark.heavy
 def test_seq_pipeline_end_to_end(wbits):
     """The sequential-chunk bucket pipeline (production path for
     n >= SEQ_LANES*SEQ_BLOCK) end-to-end vs the oracle at n=4096 — covers

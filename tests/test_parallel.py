@@ -31,6 +31,7 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.heavy
 def test_sharded_msm_matches_oracle():
     n = 64
     r = random.Random(1)
@@ -51,6 +52,7 @@ def test_sharded_msm_matches_oracle():
     assert (gy * ez - ey * gz) % P == 0
 
 
+@pytest.mark.heavy
 def test_sharded_batch_verify_rangeproofs():
     """BASELINE config 2 shape: several rangeproof mega-checks on the mesh."""
     from zkvm_tpu.proofs.generators import BulletproofGens, PedersenGens
@@ -85,6 +87,7 @@ def test_sharded_batch_verify_rangeproofs():
         sharded_batch_verify_jobs(mesh, bad_jobs, wbits=8)
 
 
+@pytest.mark.heavy
 def test_sharded_msm_pallas_pipeline_parity():
     """The round-2 production pipeline sharded over the 8-device mesh
     (limb-major shards + all_gather'd window totals + traced Edwards tree

@@ -21,6 +21,7 @@ BITS = 64
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.heavy
 def test_r1cs_2e15_multipliers_prove_verify():
     pc, bp = PedersenGens(), BulletproofGens(1 << 16)
     r = random.Random(31337)

@@ -35,6 +35,7 @@ def test_tx_batch_single_device():
     assert all(len(v.outputs) == 1 for v in verified)
 
 
+@pytest.mark.heavy
 def test_tx_batch_on_mesh_and_poisoned():
     txs = _make_txs(3)
     mesh = make_mesh(dp=2, tp=4)

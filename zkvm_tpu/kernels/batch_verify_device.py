@@ -317,7 +317,7 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
     workers = int(_os.environ.get("ZKVM_HOST_THREADS", "1"))
     if nb >= 64 and workers > 1:
         with ThreadPoolExecutor(workers) as ex:
-            replays = list(ex.map(_replay, triples, chunksize=32))
+            replays = list(ex.map(_replay, triples))
     else:
         replays = [_replay(t) for t in triples]
 

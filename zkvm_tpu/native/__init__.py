@@ -21,7 +21,8 @@ def _build_and_load():
     srcs = [os.path.join(here, "strobe.cpp"),
             os.path.join(here, "ristretto255.cpp"),
             os.path.join(here, "scalarvec.cpp"),
-            os.path.join(here, "edwards255.cpp")]
+            os.path.join(here, "edwards255.cpp"),
+            os.path.join(here, "ipp_create.cpp")]
     hdrs = [os.path.join(here, "field51.h")]
     build_dir = os.path.join(here, "build")
     so_path = os.path.join(build_dir, "libzkvmnative.so")
@@ -138,6 +139,13 @@ def _build_and_load():
         ctypes.c_char_p, ctypes.c_char_p,
     ]
     lib.fused_params_assembly.restype = ctypes.c_int
+    lib.ipp_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.ipp_create.restype = ctypes.c_int
     from ..constants import EDWARDS_D2
     lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
@@ -291,6 +299,42 @@ def ed_fold(s1, s2, P, Q, ct: bool = False):
     out = ctypes.create_string_buffer(128 * n)
     lib.ed_fold(b1, b2, _pack_points(P), _pack_points(Q), n, int(ct), out)
     return [_unpack_point(out.raw, i) for i in range(n)]
+
+
+def ipp_create_fused(strobe, ipp_label: bytes, Q_ep, G_factors, H_factors,
+                     G_eps, H_eps, a, b, ct: bool = False):
+    """Full IPP prover (all log2(n) rounds) in ONE native call
+    (ipp_create.cpp) — returns (L_vec, R_vec, a_final, b_final) or None
+    when the native path is unavailable.  `strobe` must be the caller's
+    NativeStrobe128; its state advances exactly like the Python rounds
+    (proofs/ipp.py), which remain the parity ground truth."""
+    lib = get_lib()
+    if lib is None or not hasattr(strobe, "_buf"):
+        return None
+    from ..constants import L
+    n = len(G_eps)
+    if n <= 0 or n & (n - 1):
+        return None
+    lg = n.bit_length() - 1
+    gf = b"".join((int(s) % L).to_bytes(32, "little") for s in G_factors)
+    hf = b"".join((int(s) % L).to_bytes(32, "little") for s in H_factors)
+    abuf = ctypes.create_string_buffer(
+        b"".join((int(s) % L).to_bytes(32, "little") for s in a), 32 * n)
+    bbuf = ctypes.create_string_buffer(
+        b"".join((int(s) % L).to_bytes(32, "little") for s in b), 32 * n)
+    gbuf = ctypes.create_string_buffer(_pack_points(G_eps), 128 * n)
+    hbuf = ctypes.create_string_buffer(_pack_points(H_eps), 128 * n)
+    out_lr = ctypes.create_string_buffer(max(64 * lg, 1))
+    rc = lib.ipp_create(strobe._buf, ipp_label, len(ipp_label),
+                        _pack_points([Q_ep]), gf, hf, gbuf, hbuf,
+                        abuf, bbuf, n, int(ct), out_lr)
+    if rc != 0:
+        return None
+    L_vec = [out_lr.raw[64 * i: 64 * i + 32] for i in range(lg)]
+    R_vec = [out_lr.raw[64 * i + 32: 64 * i + 64] for i in range(lg)]
+    return (L_vec, R_vec,
+            int.from_bytes(abuf.raw[:32], "little"),
+            int.from_bytes(bbuf.raw[:32], "little"))
 
 
 # fixed-base table slots (upstream EdwardsBasepointTable for B, B_blinding)

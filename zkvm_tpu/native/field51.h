@@ -8,8 +8,11 @@
 
 #pragma once
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -208,12 +211,101 @@ inline void fe_one(fe& out) {
     out.v[0] = 1;
 }
 
-// split [0, n) across worker threads when the per-item cost justifies the
-// ~30us thread spawn; body(lo, hi) must touch disjoint output ranges
+// Persistent worker pool: per-call std::thread spawn costs ~30-100us per
+// worker, which dominated the fused IPP prover (24 parallel_ranges calls
+// per proof).  Workers park on a condition variable between calls; the
+// calling thread executes slice 0 itself.  Calls must not nest (none do:
+// parallel_ranges call sites are leaf-level batch loops).
+class WorkerPool {
+  public:
+    static WorkerPool& get() {
+        static WorkerPool p;
+        return p;
+    }
+
+    // body(t) for t in [0, k); caller runs t=0, workers run 1..k-1.
+    // Safe for concurrent callers (multi-host MPC ranks are Python
+    // threads): calls serialize on run_mutex_, each using the full pool.
+    void run(int k, const std::function<void(int)>& body) {
+        if (k <= 1) {
+            body(0);
+            return;
+        }
+        std::lock_guard<std::mutex> run_lk(run_mutex_);
+        {
+            std::unique_lock<std::mutex> lk(m_);
+            body_ = &body;
+            k_ = k;
+            // EVERY worker observes every generation and decrements once
+            // (even when it has no slice, w+1 >= k) — counting only k-1
+            // here would let stale decrements from skipped workers corrupt
+            // the next generation's countdown
+            pending_ = (int)workers_.size();
+            gen_++;
+        }
+        cv_.notify_all();
+        body(0);
+        std::unique_lock<std::mutex> lk(m_);
+        done_cv_.wait(lk, [&] { return pending_ == 0; });
+        body_ = nullptr;
+    }
+
+    int max_threads() const { return (int)workers_.size() + 1; }
+
+  private:
+    WorkerPool() {
+        unsigned hw = std::thread::hardware_concurrency();
+        int nw = (int)(hw ? hw : 1) - 1;
+        for (int w = 0; w < nw; w++) {
+            workers_.emplace_back([this, w] { loop(w); });
+        }
+    }
+    ~WorkerPool() {
+        {
+            std::unique_lock<std::mutex> lk(m_);
+            stop_ = true;
+            gen_++;
+        }
+        cv_.notify_all();
+        for (auto& t : workers_) t.join();
+    }
+    void loop(int w) {
+        uint64_t seen = 0;
+        for (;;) {
+            const std::function<void(int)>* body = nullptr;
+            int k = 0;
+            {
+                std::unique_lock<std::mutex> lk(m_);
+                cv_.wait(lk, [&] { return gen_ != seen; });
+                seen = gen_;
+                if (stop_) return;
+                body = body_;
+                k = k_;
+            }
+            if (body && w + 1 < k) (*body)(w + 1);
+            {
+                std::unique_lock<std::mutex> lk(m_);
+                if (--pending_ == 0) done_cv_.notify_all();
+            }
+        }
+    }
+
+    std::vector<std::thread> workers_;
+    std::mutex run_mutex_;
+    std::mutex m_;
+    std::condition_variable cv_, done_cv_;
+    const std::function<void(int)>* body_ = nullptr;
+    int k_ = 0;
+    int pending_ = 0;
+    uint64_t gen_ = 0;
+    bool stop_ = false;
+};
+
+// split [0, n) across pool workers when the per-item cost justifies the
+// dispatch; body(lo, hi) must touch disjoint output ranges
 template <typename F>
 inline void parallel_ranges(int n, int min_per_thread, F body) {
-    unsigned hw = std::thread::hardware_concurrency();
-    int nthreads = (int)(hw ? hw : 1);
+    int nthreads = WorkerPool::get().max_threads();
     if (nthreads > 1 && n / nthreads < min_per_thread) {
         nthreads = n / min_per_thread;
     }
@@ -221,15 +313,13 @@ inline void parallel_ranges(int n, int min_per_thread, F body) {
         body(0, n);
         return;
     }
-    std::vector<std::thread> ts;
     int chunk = (n + nthreads - 1) / nthreads;
-    for (int t = 0; t < nthreads; t++) {
+    std::function<void(int)> slice = [&](int t) {
         int lo = t * chunk;
         int hi = lo + chunk < n ? lo + chunk : n;
-        if (lo >= hi) break;
-        ts.emplace_back([=] { body(lo, hi); });
-    }
-    for (auto& th : ts) th.join();
+        if (lo < hi) body(lo, hi);
+    };
+    WorkerPool::get().run(nthreads, slice);
 }
 
 }  // namespace f51

@@ -65,6 +65,23 @@ class InnerProductProof:
                 transcript, Q, G_factors, H_factors, G, H, a, b
             )
 
+        # fused native path (native/ipp_create.cpp): all rounds in one host
+        # call — removes the per-round Python marshalling that dominated the
+        # 25 ms prove (VERDICT r3 #4); bit-identical to the loop below
+        # (tests/test_ipp.py parity), which stays the ground truth.
+        # ZKVM_TPU_PY_IPP=1 forces the Python rounds.
+        import os as _os
+        if not _os.environ.get("ZKVM_TPU_PY_IPP"):
+            from ..constants import LABEL_IPP
+            from ..native import ipp_create_fused
+            fused = ipp_create_fused(
+                transcript.strobe, LABEL_IPP, Q.ep, G_factors, H_factors,
+                [g.ep for g in G], [h.ep for h in H], a, b,
+            )
+            if fused is not None:
+                L_vec, R_vec, a_fin, b_fin = fused
+                return InnerProductProof(L_vec, R_vec, a_fin, b_fin)
+
         transcript.innerproduct_domain_sep(n)
 
         G = list(G)
