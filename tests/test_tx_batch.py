@@ -53,3 +53,25 @@ def test_tx_batch_on_mesh_and_poisoned():
     bad_txs = [txs[0], TxT.from_bytes(t.to_bytes()), txs[2]]
     with pytest.raises(VerificationError):
         verify_tx_batch(bad_txs, BP, mesh=mesh, wbits=8)
+
+
+def test_fused_tx_batch_matches_and_rejects():
+    """fused_verify_tx_batch (one deduped RLC MSM for the whole batch) must
+    accept exactly what the per-job path accepts and attribute a poisoned
+    tx (VERDICT r4 task 5)."""
+    from zkvm_tpu.parallel.tx_batch import (
+        fused_verify_tx_batch, verify_tx_batch,
+    )
+    from zkvm_tpu.proofs.errors import VerificationError
+    from zkvm_tpu.vm import Tx
+
+    txs = _make_txs(3)
+    ref = verify_tx_batch(txs, BP)
+    got = fused_verify_tx_batch(txs, BP)
+    assert [v.id for v in ref] == [v.id for v in got]
+
+    bad_wire = bytearray(txs[1].to_bytes())
+    bad_wire[-40] ^= 0x11
+    bad = Tx.from_bytes(bytes(bad_wire))
+    with pytest.raises(VerificationError, match="tx 1"):
+        fused_verify_tx_batch([txs[0], bad, txs[2]], BP)

@@ -48,11 +48,12 @@ class Multikey:
     def aggregated_key(self) -> VerificationKey:
         if not self.keys:
             raise MusigError("empty multikey")
-        acc = None
-        for i, k in enumerate(self.keys):
-            term = k.decompress() * self.factor(i)
-            acc = term if acc is None else acc + term
-        return VerificationKey(acc.compress())
+        from ..proofs.engine import get_engine
+        agg = get_engine().msm(
+            [self.factor(i) for i in range(len(self.keys))],
+            [k.decompress() for k in self.keys],
+        )
+        return VerificationKey(agg.compress())
 
 
 class Party:

@@ -260,6 +260,35 @@ void ed_fold(const uint8_t* s1, const uint8_t* s2, const uint8_t* P,
     });
 }
 
+// out[i] = Q[i] + s * P[i] — ONE shared scalar across the batch, digits
+// recoded once (the pending-factor IPP fold: one table + one add per
+// window instead of two; ipp_create.cpp)
+void ed_fold1(const uint8_t* s, const uint8_t* P, const uint8_t* Q,
+              int n, int ct, uint8_t* out) {
+    int8_t d[64];
+    to_radix_16(d, s);
+    parallel_ranges(n, 2, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            ge tp[8], p, q, acc, sum;
+            ge_frombytes(p, P + 128 * i);
+            ge_frombytes(q, Q + 128 * i);
+            build_table8(tp, p);
+            ge_id(acc);
+            for (int w = 63; w >= 0; w--) {
+                if (w != 63) {
+                    ge_double(acc, acc);
+                    ge_double(acc, acc);
+                    ge_double(acc, acc);
+                    ge_double(acc, acc);
+                }
+                add_digit(acc, tp, d[w], ct);
+            }
+            ge_add(sum, acc, q);
+            ge_tobytes(out + 128 * i, sum);
+        }
+    });
+}
+
 // elementwise batch add: out[i] = A[i] + B[i]
 void ed_add_batch(const uint8_t* A, const uint8_t* B, int n, uint8_t* out) {
     parallel_ranges(n, 512, [&](int lo, int hi) {

@@ -33,6 +33,8 @@ void ed_msm(const uint8_t* scalars, const uint8_t* points, int n, int ct,
             uint8_t* out);
 void ed_fold(const uint8_t* s1, const uint8_t* s2, const uint8_t* P,
              const uint8_t* Q, int n, int ct, uint8_t* out);
+void ed_fold1(const uint8_t* s, const uint8_t* P, const uint8_t* Q,
+              int n, int ct, uint8_t* out);
 void ristretto_compress_batch(const uint8_t* in, int n, uint8_t* out);
 }
 
@@ -75,9 +77,17 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
     std::vector<uint8_t> sc((size_t)n * 32 + 32);      // MSM scalar buffer
     std::vector<uint8_t> pt((size_t)n * 128 + 128);    // MSM point buffer
     std::vector<uint8_t> t1((size_t)n * 16), t2((size_t)n * 16);
-    std::vector<uint8_t> s1((size_t)n * 16), s2((size_t)n * 16);
     std::vector<uint8_t> fold_out((size_t)n * 64);
-    uint8_t LR_ext[256], c[32], u[32], u_inv[32];
+    uint8_t LR_ext[256], c[32], u[32], u_inv[32], usq[32], uisq[32];
+
+    // Pending-factor folds: the TRUE folded vectors are G = cg*Ghat,
+    // H = ch*Hhat with cg = prod u_inv, ch = prod u over past rounds.
+    // Folding Ghat[i] = Ghat_L[i] + u^2*Ghat_R[i] costs ONE table + one
+    // add per window (ed_fold1) instead of two; the cg/ch factors ride
+    // the (cheap) MSM scalar vectors.  L/R points are bit-identical:
+    // the MSM computes the same group element, compression is canonical.
+    uint8_t cg[32] = {1}, ch[32] = {1};
+    bool cg_one = true;
 
     bool first = true;
     int round = 0;
@@ -88,7 +98,7 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
         uint8_t* GL = G;            uint8_t* GR = G + 128 * (size_t)h;
         uint8_t* HL = H;            uint8_t* HR = H + 128 * (size_t)h;
 
-        // ---- L = MSM(aL∘gfR + bR∘hfL + cL over GR + HL + Q)
+        // ---- L = MSM(cg*(aL∘gfR) + ch*(bR∘hfL) + cL over GhatR + HhatL + Q)
         scl_inner(aL, bR, h, c);
         if (first) {
             scl_mul(aL, Gf + 32 * (size_t)h, h, sc.data());
@@ -97,13 +107,18 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
             std::memcpy(sc.data(), aL, 32 * (size_t)h);
             std::memcpy(sc.data() + 32 * (size_t)h, bR, 32 * (size_t)h);
         }
+        if (!cg_one) {
+            scl_mul_scalar(sc.data(), cg, h, sc.data());
+            scl_mul_scalar(sc.data() + 32 * (size_t)h, ch, h,
+                           sc.data() + 32 * (size_t)h);
+        }
         std::memcpy(sc.data() + 64 * (size_t)h, c, 32);
         std::memcpy(pt.data(), GR, 128 * (size_t)h);
         std::memcpy(pt.data() + 128 * (size_t)h, HL, 128 * (size_t)h);
         std::memcpy(pt.data() + 256 * (size_t)h, Q, 128);
         ed_msm(sc.data(), pt.data(), 2 * h + 1, ct, LR_ext);
 
-        // ---- R = MSM(aR∘gfL + bL∘hfR + cR over GL + HR + Q)
+        // ---- R = MSM(cg*(aR∘gfL) + ch*(bL∘hfR) + cR over GhatL + HhatR + Q)
         scl_inner(aR, bL, h, c);
         if (first) {
             scl_mul(aR, Gf, h, sc.data());
@@ -111,6 +126,11 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
         } else {
             std::memcpy(sc.data(), aR, 32 * (size_t)h);
             std::memcpy(sc.data() + 32 * (size_t)h, bL, 32 * (size_t)h);
+        }
+        if (!cg_one) {
+            scl_mul_scalar(sc.data(), cg, h, sc.data());
+            scl_mul_scalar(sc.data() + 32 * (size_t)h, ch, h,
+                           sc.data() + 32 * (size_t)h);
         }
         std::memcpy(sc.data() + 64 * (size_t)h, c, 32);
         std::memcpy(pt.data(), GL, 128 * (size_t)h);
@@ -134,30 +154,39 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
         scl_mul_scalar(bR, u, h, t2.data());
         scl_add(t1.data(), t2.data(), h, b);
 
-        // ---- fold points: G = (u_inv∘gfL)*GL + (u∘gfR)*GR (factors only
-        // on the first round, exactly as upstream's lazy fold)
-        if (first) {
-            scl_mul_scalar(Gf, u_inv, h, s1.data());
-            scl_mul_scalar(Gf + 32 * (size_t)h, u, h, s2.data());
-        } else {
-            for (int i = 0; i < h; i++) {
-                std::memcpy(s1.data() + 32 * (size_t)i, u_inv, 32);
-                std::memcpy(s2.data() + 32 * (size_t)i, u, 32);
+        // ---- fold points (skipped after the last round — nothing
+        // consumes the folded vectors then).  First round: exact
+        // two-term fold with the per-element gf/hf factors (the lazy
+        // first fold, as upstream); cg/ch stay 1.  Later rounds have the
+        // SAME scalar pair (u_inv, u) for every element, so fold in
+        // pending-factor form with ONE table + one add per window:
+        //   Ghat = GhatL + u^2 * GhatR,     cg *= u_inv
+        //   Hhat = HhatL + u_inv^2 * HhatR, ch *= u
+        // (true G = cg*Ghat; the cg/ch factors ride the MSM scalars).
+        if (h > 1) {
+            if (first) {
+                scl_mul_scalar(Gf, u_inv, h, t1.data());
+                scl_mul_scalar(Gf + 32 * (size_t)h, u, h, t2.data());
+                ed_fold(t1.data(), t2.data(), GL, GR, h, ct,
+                        fold_out.data());
+                std::memcpy(G, fold_out.data(), 128 * (size_t)h);
+                scl_mul_scalar(Hf, u, h, t1.data());
+                scl_mul_scalar(Hf + 32 * (size_t)h, u_inv, h, t2.data());
+                ed_fold(t1.data(), t2.data(), HL, HR, h, ct,
+                        fold_out.data());
+                std::memcpy(H, fold_out.data(), 128 * (size_t)h);
+            } else {
+                scl_mul(u, u, 1, usq);
+                scl_mul(u_inv, u_inv, 1, uisq);
+                ed_fold1(usq, GR, GL, h, ct, fold_out.data());
+                std::memcpy(G, fold_out.data(), 128 * (size_t)h);
+                ed_fold1(uisq, HR, HL, h, ct, fold_out.data());
+                std::memcpy(H, fold_out.data(), 128 * (size_t)h);
+                scl_mul(cg, u_inv, 1, cg);
+                scl_mul(ch, u, 1, ch);
+                cg_one = false;
             }
         }
-        ed_fold(s1.data(), s2.data(), GL, GR, h, ct, fold_out.data());
-        std::memcpy(G, fold_out.data(), 128 * (size_t)h);
-        if (first) {
-            scl_mul_scalar(Hf, u, h, s1.data());
-            scl_mul_scalar(Hf + 32 * (size_t)h, u_inv, h, s2.data());
-        } else {
-            for (int i = 0; i < h; i++) {
-                std::memcpy(s1.data() + 32 * (size_t)i, u, 32);
-                std::memcpy(s2.data() + 32 * (size_t)i, u_inv, 32);
-            }
-        }
-        ed_fold(s1.data(), s2.data(), HL, HR, h, ct, fold_out.data());
-        std::memcpy(H, fold_out.data(), 128 * (size_t)h);
 
         first = false;
         n = h;

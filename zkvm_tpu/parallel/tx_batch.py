@@ -92,3 +92,79 @@ def verify_tx_batch(
     else:
         sharded_batch_verify_jobs(mesh, jobs, wbits=wbits)
     return verified
+
+
+def fused_verify_tx_batch(
+    txs: list[Tx],
+    bp_gens: BulletproofGens,
+    entropy: bytes = b"\x07" * 32,
+    attribute_failures: bool = True,
+) -> list[VerifiedTx]:
+    """Single-chip fused tx batch verification (VERDICT r4 task 5): every
+    tx's R1CS mega-check and the combined point-op check fold into ONE MSM
+    (per-job random weights, exactly upstream PointOp::verify_batch's
+    random-linear-combination argument applied across jobs), with points
+    DEDUPED across txs — the bp/pc generator columns appear once for the
+    whole batch, so the device MSM grows ~O(unique proof points) rather
+    than O(txs * gens).  One engine dispatch verifies the whole batch.
+
+    Host precompute (VM replay + transcripts) runs on a thread pool: the
+    native STROBE/scalar calls release the GIL.
+
+    Raises VerificationError on a bad batch; when attribute_failures, falls
+    back to per-job checks to name the failing tx (slow path, only on
+    failure — upstream batch verification has the same rejection shape).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..proofs.engine import get_engine
+
+    if not txs:
+        return []
+    workers = int(os.environ.get("ZKVM_HOST_THREADS", "0")) or min(
+        4, len(txs))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            pre = list(ex.map(lambda tx: precompute_tx(tx, bp_gens), txs))
+    else:
+        pre = [precompute_tx(tx, bp_gens) for tx in txs]
+
+    verified = [p[0] for p in pre]
+    jobs = [p[2] for p in pre]
+    all_ops: list[PointOp] = []
+    for p in pre:
+        all_ops.extend(p[1])
+    if all_ops:
+        jobs.append(_point_ops_job(all_ops, entropy))
+
+    # batch randomness bound to the whole batch content
+    h = hashlib.sha3_512()
+    h.update(entropy)
+    for vtx in verified:
+        h.update(vtx.id)
+    seed = h.digest()
+
+    acc: dict[tuple, int] = {}   # point.ep -> accumulated scalar
+    pts: dict[tuple, RistrettoPoint] = {}
+    for i, (scalars, points) in enumerate(jobs):
+        r = int.from_bytes(
+            hashlib.sha3_512(seed + i.to_bytes(8, "little")).digest(),
+            "little") % L
+        for s, p in zip(scalars, points, strict=True):
+            key = p.ep
+            acc[key] = (acc.get(key, 0) + r * s) % L
+            pts.setdefault(key, p)
+
+    eng = get_engine()
+    if not eng.msm_is_identity(list(acc.values()),
+                               [pts[k] for k in acc]):
+        if attribute_failures:
+            for i, (scalars, points) in enumerate(jobs):
+                if not eng.msm_is_identity(scalars, points):
+                    which = (f"tx {i}" if i < len(txs)
+                             else "combined point-op check")
+                    raise VerificationError(
+                        f"fused tx batch verification failed ({which})")
+        raise VerificationError("fused tx batch verification failed")
+    return verified
