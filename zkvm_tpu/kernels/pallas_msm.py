@@ -342,7 +342,9 @@ import os as _os
 
 SEQ_LANES = int(_os.environ.get("ZKVM_SEQ_LANES", "512"))   # M lanes/window
 SEQ_BLOCK = int(_os.environ.get("ZKVM_SEQ_BLOCK", "8"))     # K-pos per step
-SCAN_TILE = int(_os.environ.get("ZKVM_SCAN_TILE", "128"))   # lanes per step
+# 512 lanes/step: the scan's sequential adds are latency-bound, so wider
+# tiles are ~free throughput (2^16 scan 15.3 -> 6.9 ms, probe 2026-08-19)
+SCAN_TILE = int(_os.environ.get("ZKVM_SCAN_TILE", "512"))   # lanes per step
 FOLD_LANES = 128  # bucket-fold lanes per window
 FOLD_BLOCK = 8    # buckets consumed per fold grid step
 FOLD_TILE = 512   # fold lanes per grid step (flattened nw*FOLD_LANES)
@@ -632,7 +634,12 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
         shift = max(n - 1, 1).bit_length()  # index bits
         if wbits + shift <= 31:
             # pack (|digit|, index) into one int32 so the sort is a
-            # single-operand sort instead of a key-val pair sort
+            # single-operand sort instead of a key-val pair sort.
+            # INVARIANT: |digit| <= 2^(wbits-1) (signed_digits_radix_2w /
+            # recode_digits_device guarantee this), so the key occupies at
+            # most wbits bits above the shift; an out-of-range digit here
+            # would silently corrupt the index bits of perm — any new digit
+            # recoder feeding this path must preserve the bound.
             packed = (jnp.abs(dT_g) << shift) | jnp.arange(n, dtype=jnp.int32)
             sp = jax.lax.sort(packed, dimension=1)
             sorted_key = sp >> shift
@@ -667,8 +674,12 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
         tail_flag = jnp.max(start_l, axis=1)           # (nwg, M)
         incoming = _lane_scan(tails, tail_flag, interpret)
 
-        # fixup: at most one segment end per lane precedes the lane's first
-        # start flag; only those positions need the incoming prefix added
+        # fixup values: at most one segment end per lane precedes the
+        # lane's first start flag; only that position's tail needs the
+        # cross-lane incoming prefix added.  The fix is applied to the
+        # GATHERED bucket tails below, never to the 420 MB scanned array
+        # (the old full-array where-rewrite + point scatter was ~53 ms of
+        # the 91 ms device time at 2^16; probe 2026-08-19).
         has = jnp.max(start_l, axis=1) > 0
         first = jnp.where(has, jnp.argmax(start_l, axis=1), K)  # (nwg, M)
         e = first - 1
@@ -676,7 +687,7 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
         iend_l = lr(is_end).astype(jnp.int32)
         end_at_e = jnp.take_along_axis(
             iend_l, e_cl[:, None, :], axis=1)[:, 0, :]
-        need = (e >= 0) & (e <= K - 1) & (end_at_e != 0)
+        need = (e >= 0) & (end_at_e != 0)                       # (nwg, M)
 
         def gather_e(c):
             return jnp.take_along_axis(
@@ -684,41 +695,58 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
 
         val_e = PointBatch(gather_e(scanned.x), gather_e(scanned.y),
                            gather_e(scanned.z), gather_e(scanned.t))
-        fixed = point_add_lm(incoming, val_e, interpret)
-        sel = need[None]
-        newv = PointBatch(
-            jnp.where(sel, fixed.x, val_e.x),
-            jnp.where(sel, fixed.y, val_e.y),
-            jnp.where(sel, fixed.z, val_e.z),
-            jnp.where(sel, fixed.t, val_e.t),
-        )
+        fixed = point_add_lm(incoming, val_e, interpret)        # (NL, nwg, M)
+
+        # write the fixed values back at the e positions: this elementwise
+        # where FUSES into the rows relayout below (which reads scanned
+        # anyway) — post-gather fixing via take_along_axis on the lane
+        # axis measured +106 ms at 2^16 (probe6, 2026-08-19)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (nwg, K, M), 1)
-        put = (k_iota == e_cl[:, None, :]) & need[:, None, :]  # (nwg, K, M)
+        put = (k_iota == e_cl[:, None, :]) & need[:, None, :]
         scanned = PointBatch(
-            jnp.where(put[None], newv.x[:, :, None, :], scanned.x),
-            jnp.where(put[None], newv.y[:, :, None, :], scanned.y),
-            jnp.where(put[None], newv.z[:, :, None, :], scanned.z),
-            jnp.where(put[None], newv.t[:, :, None, :], scanned.t),
+            jnp.where(put[None], fixed.x[:, :, None, :], scanned.x),
+            jnp.where(put[None], fixed.y[:, :, None, :], scanned.y),
+            jnp.where(put[None], fixed.z[:, :, None, :], scanned.z),
+            jnp.where(put[None], fixed.t[:, :, None, :], scanned.t),
         )
 
-        # scatter segment totals into per-window bucket arrays (targets in
-        # the same lane-run layout as the scan values; scatters don't care)
+        # ---- bucket-tail compaction: scatter only int32 POSITIONS (the
+        # sorted index of each bucket's segment tail), then row-gather the
+        # <= nbuckets tails per window from a row-major view of scanned
         stride = nbuckets + 2
-        target = jnp.where(is_end, sorted_key, nbuckets + 1)
-        window_ids = jax.lax.broadcasted_iota(jnp.int32, (nwg, K, M), 0)
-        flat_target = (window_ids * stride + lr(target)).reshape(-1)
-        buckets = identity_lm((nwg * stride,))
+        target = jnp.where(is_end, sorted_key, nbuckets + 1)    # (nwg, n)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (nwg, n), 0)
+        flat_target = (w_iota * stride + target).reshape(-1)
+        # ONE int32 scatter carries both the position and the hit flag
+        # (scatter position+1; 0 = empty bucket)
+        p_iota = jnp.broadcast_to(
+            jnp.arange(1, n + 1, dtype=jnp.int32), (nwg, n)).reshape(-1)
+        pos1 = jnp.zeros((nwg * stride,), jnp.int32).at[flat_target].set(
+            p_iota).reshape(nwg, stride)[:, 1: nbuckets + 1]    # (nwg, nb)
+        hit = pos1 > 0
+        posmap = jnp.maximum(pos1 - 1, 0)
+
+        kk, mb = posmap % K, posmap // K   # sorted p = m*K + k -> lane-run
+        flat_lane = kk * M + mb            # offset within the window
+        rows = jnp.concatenate(
+            [scanned.x, scanned.y, scanned.z, scanned.t]
+        ).reshape(4 * NLIMBS, -1).T        # (nwg*K*M, 80)
+        # materialize the row-major relayout BEFORE the gather: without the
+        # barrier XLA fuses the transpose into the gather and the row
+        # gather degrades back into a strided column gather (measured 187
+        # vs 118 ms at 2^16, 2026-08-19)
+        rows = jax.lax.optimization_barrier(rows)
+        wbase = (jnp.arange(nwg, dtype=jnp.int32) * (K * M))[:, None]
+        g = jnp.take(rows, (flat_lane + wbase).reshape(-1), axis=0)
+        g = g.reshape(nwg, nbuckets, 4 * NLIMBS).transpose(2, 0, 1)
+
+        ident = _identity_planes((nwg, nbuckets))
+        sel_hit = hit[None]
         buckets = PointBatch(
-            buckets.x.at[:, flat_target].set(scanned.x.reshape(NLIMBS, -1)),
-            buckets.y.at[:, flat_target].set(scanned.y.reshape(NLIMBS, -1)),
-            buckets.z.at[:, flat_target].set(scanned.z.reshape(NLIMBS, -1)),
-            buckets.t.at[:, flat_target].set(scanned.t.reshape(NLIMBS, -1)),
-        )
-        buckets = PointBatch(
-            buckets.x.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
-            buckets.y.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
-            buckets.z.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
-            buckets.t.reshape(NLIMBS, nwg, stride)[:, :, 1: nbuckets + 1],
+            jnp.where(sel_hit, g[:NLIMBS], ident[0]),
+            jnp.where(sel_hit, g[NLIMBS:2 * NLIMBS], ident[1]),
+            jnp.where(sel_hit, g[2 * NLIMBS:3 * NLIMBS], ident[2]),
+            jnp.where(sel_hit, g[3 * NLIMBS:], ident[3]),
         )
         return _weighted_fold_seq(buckets, interpret)
 
@@ -852,6 +880,43 @@ def msm_pallas(points: PointBatch, digits: jnp.ndarray, wbits: int,
         return jp.add(acc, jp.gather(tot_bm, widx))
 
     return jax.lax.fori_loop(0, nw - 1, per_window, acc)
+
+
+def _combine_check_core(packed: jnp.ndarray, wbits: int) -> jnp.ndarray:
+    """Trace-pure device window combine + Ristretto identity test.
+
+    packed: (4, NLIMBS, nw) limb-major window totals.  Returns int32 1 iff
+    sum_w 2^(w*wbits) * total_w is the Ristretto identity, i.e. the
+    canonical x or y coordinate is zero mod p (identity coset of the
+    cofactor-8 quotient).  The Horner fold is a ROLLED lax.fori_loop —
+    (nw-1)*wbits doubles + nw-1 adds on a single point — so it adds a few
+    hundred tiny VPU ops to the graph instead of unrolling minutes of XLA
+    compile (VERDICT r3 #3; upstream folds in-loop in pippenger.rs [U]).
+    Fusing this into the verify dispatch drops the fetched payload from
+    (4, NLIMBS, nw) ints to one scalar — one less ~24 ms tunnel fetch."""
+    from . import field as F
+    from . import point as jp
+
+    nw = packed.shape[2]
+    # batch-minor (nw, NLIMBS) coords; totals leave the seq pipeline with
+    # carried limbs, but one cheap carry pass keeps the add/double input
+    # bounds independent of the producing pipeline's internal discipline
+    tot = PointBatch(*(F.carry_once(packed[i].T) for i in range(4)))
+    acc = jp.gather(tot, nw - 1)
+
+    def per_window(i, acc):
+        acc = jax.lax.fori_loop(0, wbits, lambda _, a: jp.double(a), acc)
+        return jp.add(acc, jp.gather(tot, nw - 2 - i))
+
+    if nw > 1:
+        acc = jax.lax.fori_loop(0, nw - 1, per_window, acc)
+    return (F.is_zero(acc.x) | F.is_zero(acc.y)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def combine_and_check_device(packed: jnp.ndarray, wbits: int) -> jnp.ndarray:
+    """jit wrapper of _combine_check_core for standalone use/tests."""
+    return _combine_check_core(packed, wbits)
 
 
 def combine_window_totals(totals, wbits: int):

@@ -34,7 +34,9 @@ class Transcript:
         return t
 
     def clone(self) -> "Transcript":
-        return Transcript._from_strobe(self.strobe.clone())
+        # type(self), not Transcript: subclasses (ProofTranscript) keep
+        # their protocol methods across a clone
+        return type(self)._from_strobe(self.strobe.clone())
 
     def append_message(self, label: bytes, message: bytes):
         s = self.strobe

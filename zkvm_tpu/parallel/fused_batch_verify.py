@@ -29,9 +29,13 @@ from ..kernels.batch_verify_device import (
 
 
 def sharded_totals_fn(mesh: Mesh, n: int, m: int, lg: int, wbits: int,
-                      dev_decompress: bool, interpret: bool):
+                      dev_decompress: bool, interpret: bool,
+                      dev_combine: bool = False):
     """Build the jitted sharded fused-verify step.  Inputs shard the proof
-    axis over ALL mesh axes; output (4, NLIMBS, nw+1) totals replicated."""
+    axis over ALL mesh axes; output (4, NLIMBS, nw+1) totals replicated —
+    or, with dev_combine, a single replicated int32 flag (the window
+    combine + identity test run on device after the cross-shard fold, so
+    nothing but one scalar crosses back to the host; VERDICT r3 #3)."""
     import numpy as _np
 
     from ..constants import EDWARDS_D2
@@ -61,7 +65,19 @@ def sharded_totals_fn(mesh: Mesh, n: int, m: int, lg: int, wbits: int,
         ok = jnp.min(g[:, 0, 0, -1])
         t = g[:, :, :, :-1]                     # totals sans flag column
         t = jnp.moveaxis(t, 2, 1)               # (ndev, NLIMBS, 4, nw)
-        assert t.shape[0] & (t.shape[0] - 1) == 0, "device count: pow2"
+        # non-pow2 device counts: pad the gathered totals with identity
+        # points (x=0, y=1, z=1, t=0) up to the next power of two so the
+        # halving tree combine below stays shape-static
+        pad = (1 << max(t.shape[0] - 1, 1).bit_length()) - t.shape[0]
+        if pad:
+            one = jnp.asarray(int_to_limbs(1).astype(_np.int32))
+            zero_pl = jnp.zeros((pad, NLIMBS, 1, t.shape[3]), t.dtype)
+            one_pl = jnp.broadcast_to(
+                one[None, :, None, None],
+                (pad, NLIMBS, 1, t.shape[3])).astype(t.dtype)
+            ident = jnp.concatenate(
+                [zero_pl, one_pl, one_pl, zero_pl], axis=2)
+            t = jnp.concatenate([t, ident], axis=0)
         d2 = d2col[:, None, :]
         while t.shape[0] > 1:
             h = t.shape[0] // 2
@@ -74,6 +90,10 @@ def sharded_totals_fn(mesh: Mesh, n: int, m: int, lg: int, wbits: int,
             s = pm._add_formula(coords(a), coords(b), d2)
             t = jnp.moveaxis(jnp.stack(s, axis=2), 1, 0)
         out = jnp.moveaxis(t[0], 0, 1)          # (4, NLIMBS, nw)
+        if dev_combine:
+            from ..kernels.pallas_msm import _combine_check_core
+            ident = _combine_check_core(out, wbits)
+            return (ok.astype(jnp.int32) & ident).reshape(1)
         okp = jnp.broadcast_to(ok, (4, NLIMBS, 1)).astype(jnp.int32)
         return jnp.concatenate([out, okp], axis=2)
 
@@ -95,8 +115,10 @@ def sharded_batch_verify(mesh: Mesh, proofs, bp_gens, pc_gens, transcripts,
                          dev_decompress: bool | None = None,
                          interpret: bool | None = None) -> bool:
     """Batched rangeproof verification sharded across the mesh.  Host
-    assembly is identical to the single-chip fused path; the proof axis
-    must divide by the device count (callers pad their batches)."""
+    assembly is identical to the single-chip fused path.  Batches that do
+    not divide the device count are padded by re-verifying a prefix of the
+    batch (each pad slot draws its own RLC weight, so duplicates neither
+    mask a bad proof nor admit a forged one)."""
     from ..kernels.pallas_msm import best_wbits, combine_window_totals
     from ..oracle.ristretto import RistrettoPoint
 
@@ -108,7 +130,13 @@ def sharded_batch_verify(mesh: Mesh, proofs, bp_gens, pc_gens, transcripts,
     ndev = mesh.devices.size
     nb = len(proofs)
     if nb % ndev:
-        raise ValueError(f"batch size {nb} must divide device count {ndev}")
+        npad = ndev - nb % ndev
+        proofs = list(proofs) + [proofs[i % nb] for i in range(npad)]
+        transcripts = list(transcripts) + [
+            transcripts[i % nb].clone() for i in range(npad)]
+        value_commitments = list(value_commitments) + [
+            value_commitments[i % nb] for i in range(npad)]
+        nb += npad
 
     params, bbB_pp, dyn_words, m, lg = prepare_batch_inputs(
         proofs, bp_gens, pc_gens, transcripts, value_commitments, n,
@@ -119,11 +147,16 @@ def sharded_batch_verify(mesh: Mesh, proofs, bp_gens, pc_gens, transcripts,
     shard_total = 2 + 2 * n * m + (nb // ndev) * (4 + 2 * lg + m)
     wbits = best_wbits(_padded_size(shard_total))
 
-    fn = sharded_totals_fn(mesh, n, m, lg, wbits, dev_decompress, interpret)
+    from ..kernels.batch_verify_device import _use_dev_combine
+    dev_combine = _use_dev_combine(interpret)
+    fn = sharded_totals_fn(mesh, n, m, lg, wbits, dev_decompress, interpret,
+                           dev_combine)
     packed = np.asarray(fn(
         static_words, jnp.asarray(dyn_words), jnp.asarray(params),
         jnp.asarray(bbB_pp),
     ))
+    if dev_combine:
+        return bool(int(packed[0]))
     if int(packed[0, 0, -1]) == 0:
         return False
     return RistrettoPoint(
