@@ -105,6 +105,10 @@ def _build_and_load():
     lib.ed_add_batch.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
     ]
+    lib.ed_bit_commit.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+    ]
     lib.ed_fixed_init.argtypes = [ctypes.c_int, ctypes.c_char_p]
     lib.ed_fixed_ready.argtypes = [ctypes.c_int]
     lib.ed_fixed_ready.restype = ctypes.c_int
@@ -143,9 +147,14 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
     ]
     lib.ipp_create.restype = ctypes.c_int
+    lib.ed_ipp_ctx_new.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int
+    ]
+    lib.ed_ipp_ctx_new.restype = ctypes.c_void_p
+    lib.ed_ipp_ctx_free.argtypes = [ctypes.c_void_p]
     from ..constants import EDWARDS_D2
     lib.ed_set_constants(EDWARDS_D2.to_bytes(32, "little"))
     return lib
@@ -286,6 +295,26 @@ def ed_combine_windows(points, wbits: int):
     return _unpack_point(out.raw)
 
 
+def ed_bit_commit(blind: int, Bb_ep, bits, G_eps, H_eps):
+    """blind*Bb + sum_i (bits[i] ? G_i : -H_i) — the range-proof
+    A-commitment (a_L bits / a_R = a_L - 1 structure collapses the ct MSM
+    to one fixed ladder + n ct selects; edwards255.cpp ed_bit_commit).
+    Returns the extended point tuple, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..constants import L
+    n = len(bits)
+    assert len(G_eps) == len(H_eps) == n
+    out = ctypes.create_string_buffer(128)
+    lib.ed_bit_commit(
+        (int(blind) % L).to_bytes(32, "little"), _pack_points([Bb_ep]),
+        bytes(int(b) & 1 for b in bits),
+        _pack_points(G_eps), _pack_points(H_eps), n, out,
+    )
+    return _unpack_point(out.raw)
+
+
 def ed_fold(s1, s2, P, Q, ct: bool = False):
     """[s1_i*P_i + s2_i*Q_i] (the IPP fold), or None when unavailable."""
     lib = get_lib()
@@ -301,13 +330,32 @@ def ed_fold(s1, s2, P, Q, ct: bool = False):
     return [_unpack_point(out.raw, i) for i in range(n)]
 
 
+# prebuilt IPP w-NAF generator tables, keyed by the packed G||H bytes
+# (ed_ipp_ctx_new; ~340 KB per n=64 entry — bounded LRU)
+_IPP_CTX: "dict[bytes, int]" = {}
+_IPP_CTX_MAX = 8
+
+
+def _ipp_gens_ctx(lib, gh_key: bytes, gblob: bytes, hblob: bytes, n: int):
+    ctx = _IPP_CTX.get(gh_key)
+    if ctx is None:
+        ctx = lib.ed_ipp_ctx_new(gblob, hblob, n)
+        if len(_IPP_CTX) >= _IPP_CTX_MAX:
+            _, old = _IPP_CTX.popitem()
+            lib.ed_ipp_ctx_free(old)
+        _IPP_CTX[gh_key] = ctx
+    return ctx
+
+
 def ipp_create_fused(strobe, ipp_label: bytes, Q_ep, G_factors, H_factors,
                      G_eps, H_eps, a, b, ct: bool = False):
     """Full IPP prover (all log2(n) rounds) in ONE native call
-    (ipp_create.cpp) — returns (L_vec, R_vec, a_final, b_final) or None
-    when the native path is unavailable.  `strobe` must be the caller's
-    NativeStrobe128; its state advances exactly like the Python rounds
-    (proofs/ipp.py), which remain the parity ground truth."""
+    (ipp_create.cpp, coefficient form: no point folds, prebuilt w-NAF
+    generator tables cached across proofs) — returns (L_vec, R_vec,
+    a_final, b_final) or None when the native path is unavailable.
+    `strobe` must be the caller's NativeStrobe128; its state advances
+    exactly like the Python rounds (proofs/ipp.py), which remain the
+    parity ground truth."""
     lib = get_lib()
     if lib is None or not hasattr(strobe, "_buf"):
         return None
@@ -322,12 +370,14 @@ def ipp_create_fused(strobe, ipp_label: bytes, Q_ep, G_factors, H_factors,
         b"".join((int(s) % L).to_bytes(32, "little") for s in a), 32 * n)
     bbuf = ctypes.create_string_buffer(
         b"".join((int(s) % L).to_bytes(32, "little") for s in b), 32 * n)
-    gbuf = ctypes.create_string_buffer(_pack_points(G_eps), 128 * n)
-    hbuf = ctypes.create_string_buffer(_pack_points(H_eps), 128 * n)
+    gblob, hblob = _pack_points(G_eps), _pack_points(H_eps)
+    gbuf = ctypes.create_string_buffer(gblob, 128 * n)
+    hbuf = ctypes.create_string_buffer(hblob, 128 * n)
+    ctx = _ipp_gens_ctx(lib, gblob + hblob, gblob, hblob, n)
     out_lr = ctypes.create_string_buffer(max(64 * lg, 1))
     rc = lib.ipp_create(strobe._buf, ipp_label, len(ipp_label),
                         _pack_points([Q_ep]), gf, hf, gbuf, hbuf,
-                        abuf, bbuf, n, int(ct), out_lr)
+                        abuf, bbuf, n, int(ct), out_lr, ctx)
     if rc != 0:
         return None
     L_vec = [out_lr.raw[64 * i: 64 * i + 32] for i in range(lg)]

@@ -194,7 +194,16 @@ void ed_msm(const uint8_t* scalars, const uint8_t* points, int n, int ct,
     // chain), partial results tree-add at the end
     unsigned hw = std::thread::hardware_concurrency();
     int nthreads = (int)(hw ? hw : 1);
-    if (nthreads > 1 && n / nthreads < 32) nthreads = n / 32;
+    // grain: the per-thread duplicated doubling chain (252 doubles) pays
+    // for itself down to ~8 points/thread now that the WorkerPool dispatch
+    // is ~10us (IPP round MSMs are 65/33/17 points — was serial at grain
+    // 32).  ZKVM_MSM_GRAIN overrides for per-host tuning.
+    static const int grain = [] {
+        const char* e = getenv("ZKVM_MSM_GRAIN");
+        int g = e ? atoi(e) : 8;
+        return g > 0 ? g : 8;
+    }();
+    if (nthreads > 1 && n / nthreads < grain) nthreads = n / grain;
     if (nthreads < 1) nthreads = 1;
     std::vector<ge> partial(nthreads);
     parallel_ranges(nthreads, 1, [&](int tlo, int thi) {
@@ -289,6 +298,44 @@ void ed_fold1(const uint8_t* s, const uint8_t* P, const uint8_t* Q,
     });
 }
 
+// A-commitment fast path (range-proof BitCommitment, party.rs upstream):
+//   out = blind * Bb + sum_i (bits[i] ? G[i] : -H[i])
+// because a_L is a 0/1 bit vector and a_R = a_L - 1 lands in {0, -1}, the
+// size-(2n+1) constant-time MSM collapses to ONE ct fixed ladder plus n
+// ct two-way selects + n adds (~45us vs ~750us for the generic ct Straus).
+// bits are SECRET: the select is a branchless cmov pair, every i does the
+// same work.  blind: 32B scalar; Bb/G/H: 128B extended points.
+void ed_bit_commit(const uint8_t* blind, const uint8_t* Bb,
+                   const uint8_t* bits, const uint8_t* G, const uint8_t* H,
+                   int n, uint8_t* out) {
+    ge bb, acc;
+    ge_frombytes(bb, Bb);
+    ge tab[8];
+    build_table8(tab, bb);
+    int8_t d[64];
+    to_radix_16(d, blind);
+    ge_id(acc);
+    for (int w = 63; w >= 0; w--) {
+        if (w != 63) {
+            ge_double(acc, acc);
+            ge_double(acc, acc);
+            ge_double(acc, acc);
+            ge_double(acc, acc);
+        }
+        add_digit(acc, tab, d[w], 1);
+    }
+    for (int i = 0; i < n; i++) {
+        ge g, h, sel, sum;
+        ge_frombytes(g, G + 128 * (size_t)i);
+        ge_frombytes(h, H + 128 * (size_t)i);
+        ge_neg(sel, h);                       // default: -H_i (bit = 0)
+        ge_cmov(sel, g, (u64)(bits[i] & 1));  // bit = 1 -> G_i
+        ge_add(sum, acc, sel);
+        acc = sum;
+    }
+    ge_tobytes(out, acc);
+}
+
 // elementwise batch add: out[i] = A[i] + B[i]
 void ed_add_batch(const uint8_t* A, const uint8_t* B, int n, uint8_t* out) {
     parallel_ranges(n, 512, [&](int lo, int hi) {
@@ -379,5 +426,304 @@ void ed_combine_windows(const uint8_t* totals, int nw, int wbits,
 }
 
 int ed_constants_ready() { return ED_SET ? 1 : 0; }
+
+// ------------------------------------------------------------------------
+// IPP round-MSM context: prebuilt width-6 w-NAF tables over the FIXED
+// point set [Q, G_0..G_{n-1}, H_0..H_{n-1}] so every L/R commitment of the
+// coefficient-form IPP prover (ipp_create.cpp) reuses them.  Tables hold
+// odd multiples {1,3,..,31}·P in cached-Niels form (Y+X, Y−X, Z, T·2d):
+// one fe_mul fewer per add than the generic unified formula, and the
+// (Y±X)/T·2d precomputation is paid once per table entry, not per add.
+// Upstream analogue: curve25519-dalek's NafLookupTable5 + vartime Straus
+// (scalar_mul/straus.rs), widened to w=6 because the tables amortize over
+// all log2(n) rounds here.
+
+}  // extern "C"
+
+namespace {
+
+struct cge {
+    fe YpX, YmX, Z, T2d;
+};
+
+void ge_to_cached(cge& c, const ge& p) {
+    fe_add(c.YpX, p.Y, p.X);
+    fe_sub(c.YmX, p.Y, p.X);
+    c.Z = p.Z;
+    fe_mul(c.T2d, p.T, D2_FE);
+}
+
+// add-2008-hwcd-3 with the q-side precomputed (8M): out = p + q
+void ge_add_cached(ge& out, const ge& p, const cge& q) {
+    fe A, B, C, D, E, F, G, H, t1;
+    fe_sub(t1, p.Y, p.X);
+    fe_mul(A, t1, q.YmX);
+    fe_add(t1, p.Y, p.X);
+    fe_mul(B, t1, q.YpX);
+    fe_mul(C, p.T, q.T2d);
+    fe_mul(t1, p.Z, q.Z);
+    fe_add(D, t1, t1);
+    fe_sub(E, B, A);
+    fe_sub(F, D, C);
+    fe_add(G, D, C);
+    fe_add(H, B, A);
+    fe_mul(out.X, E, F);
+    fe_mul(out.Y, G, H);
+    fe_mul(out.Z, F, G);
+    fe_mul(out.T, E, H);
+}
+
+// out = p - q (cached): swap YpX/YmX and negate T2d contribution
+void ge_sub_cached(ge& out, const ge& p, const cge& q) {
+    fe A, B, C, D, E, F, G, H, t1;
+    fe_sub(t1, p.Y, p.X);
+    fe_mul(A, t1, q.YpX);
+    fe_add(t1, p.Y, p.X);
+    fe_mul(B, t1, q.YmX);
+    fe_mul(C, p.T, q.T2d);
+    fe_neg(C, C);
+    fe_mul(t1, p.Z, q.Z);
+    fe_add(D, t1, t1);
+    fe_sub(E, B, A);
+    fe_sub(F, D, C);
+    fe_add(G, D, C);
+    fe_add(H, B, A);
+    fe_mul(out.X, E, F);
+    fe_mul(out.Y, G, H);
+    fe_mul(out.Z, F, G);
+    fe_mul(out.T, E, H);
+}
+
+constexpr int WNAF_W = 6;               // digits odd, |d| <= 31
+constexpr int WNAF_TAB = 1 << (WNAF_W - 2);  // 16 odd multiples
+
+// signed width-w NAF (curve25519-dalek Scalar::non_adjacent_form):
+// out[0..256], digits odd in (-2^{w-1}, 2^{w-1}), at most one nonzero in
+// any w consecutive positions.  Valid for scalars < 2^255.
+void to_wnaf(int8_t out[257], const uint8_t* s) {
+    memset(out, 0, 257);
+    u64 x[5] = {0, 0, 0, 0, 0};
+    memcpy(x, s, 32);
+    const u64 width = 1ull << WNAF_W;
+    const u64 window_mask = width - 1;
+    int pos = 0;
+    u64 carry = 0;
+    while (pos < 256) {
+        int u64_idx = pos / 64;
+        int bit_idx = pos % 64;
+        u64 bit_buf;
+        if (bit_idx < 64 - WNAF_W) {
+            bit_buf = x[u64_idx] >> bit_idx;
+        } else {
+            bit_buf = (x[u64_idx] >> bit_idx) | (x[u64_idx + 1]
+                                                 << (64 - bit_idx));
+        }
+        u64 window = carry + (bit_buf & window_mask);
+        if ((window & 1) == 0) {
+            pos += 1;
+            continue;
+        }
+        if (window < width / 2) {
+            carry = 0;
+            out[pos] = (int8_t)window;
+        } else {
+            carry = 1;
+            out[pos] = (int8_t)((int64_t)window - (int64_t)width);
+        }
+        pos += WNAF_W;
+    }
+}
+
+// table[j] = (2j+1) * P in cached form
+void build_wnaf_table(cge* table, const ge& p) {
+    ge p2, cur;
+    ge_double(p2, p);
+    cge c2;
+    ge_to_cached(c2, p2);
+    cur = p;
+    ge_to_cached(table[0], cur);
+    for (int j = 1; j < WNAF_TAB; j++) {
+        ge next;
+        ge_add_cached(next, cur, c2);
+        cur = next;
+        ge_to_cached(table[j], cur);
+    }
+}
+
+struct IppCtx {
+    int n;                   // generator count per side
+    std::vector<cge> tabs;   // 2n * WNAF_TAB: [G_0.., H_0..]
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build the per-gens round-MSM context (G/H only: these amortize across
+// proofs; Q = w*B is fresh per proof — ed_ipp_qtab_new).
+void* ed_ipp_ctx_new(const uint8_t* G, const uint8_t* H, int n) {
+    IppCtx* ctx = new IppCtx;
+    ctx->n = n;
+    ctx->tabs.resize((size_t)(2 * n) * WNAF_TAB);
+    parallel_ranges(2 * n, 8, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            ge p;
+            const uint8_t* src = i < n ? G + 128 * (size_t)i
+                                       : H + 128 * (size_t)(i - n);
+            ge_frombytes(p, src);
+            build_wnaf_table(ctx->tabs.data() + (size_t)i * WNAF_TAB, p);
+        }
+    });
+    return ctx;
+}
+
+void ed_ipp_ctx_free(void* ctx) { delete (IppCtx*)ctx; }
+
+void* ed_ipp_qtab_new(const uint8_t* Q) {
+    cge* tab = new cge[WNAF_TAB];
+    ge q;
+    ge_frombytes(q, Q);
+    build_wnaf_table(tab, q);
+    return tab;
+}
+
+void ed_ipp_qtab_free(void* tab) { delete[] (cge*)tab; }
+
+}  // extern "C"
+
+namespace {
+
+// gather active (table, wnaf-digit) pairs for one commitment MSM
+struct MsmJob {
+    std::vector<int8_t> nafs;        // na * 257
+    std::vector<const cge*> tptr;    // na
+    int na = 0;
+
+    void build(const IppCtx* ctx, const cge* qtab, const uint8_t* sG,
+               const uint8_t* sH, const uint8_t* cQ) {
+        const int n = ctx->n;
+        auto is_zero32 = [](const uint8_t* p) {
+            u64 w[4];
+            memcpy(w, p, 32);
+            return (w[0] | w[1] | w[2] | w[3]) == 0;
+        };
+        std::vector<int> act;
+        act.reserve(2 * n + 1);
+        act.push_back(-1);  // Q
+        for (int j = 0; j < n; j++)
+            if (!is_zero32(sG + 32 * (size_t)j)) act.push_back(j);
+        for (int j = 0; j < n; j++)
+            if (!is_zero32(sH + 32 * (size_t)j)) act.push_back(n + j);
+        na = (int)act.size();
+        nafs.resize((size_t)na * 257);
+        tptr.resize(na);
+        for (int k = 0; k < na; k++) {
+            int j = act[k];
+            const uint8_t* s = j < 0 ? cQ
+                             : j < n ? sG + 32 * (size_t)j
+                                     : sH + 32 * (size_t)(j - n);
+            to_wnaf(nafs.data() + (size_t)k * 257, s);
+            tptr[k] = j < 0 ? qtab
+                            : ctx->tabs.data() + (size_t)j * WNAF_TAB;
+        }
+    }
+
+    // sum over the [lo, hi) slice of active points
+    void run_slice(ge& out, int lo, int hi) const {
+        ge acc;
+        ge_id(acc);
+        bool started = false;
+        for (int pos = 256; pos >= 0; pos--) {
+            if (started) ge_double(acc, acc);
+            for (int k = lo; k < hi; k++) {
+                int8_t d = nafs[(size_t)k * 257 + pos];
+                if (d > 0) {
+                    ge s;
+                    ge_add_cached(s, acc, tptr[k][(d - 1) >> 1]);
+                    acc = s;
+                    started = true;
+                } else if (d < 0) {
+                    ge s;
+                    ge_sub_cached(s, acc, tptr[k][(-d - 1) >> 1]);
+                    acc = s;
+                    started = true;
+                }
+            }
+        }
+        out = acc;
+    }
+};
+
+// run one or two commitment MSMs over ONE pool dispatch: slices split the
+// thread budget between the jobs so an L/R pair fills the machine instead
+// of serializing two half-filled MSMs
+void run_jobs(const MsmJob* jobs, int njobs, uint8_t* outs) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? hw : 1);
+    int per = nthreads / njobs > 0 ? nthreads / njobs : 1;
+    struct Slice { int job, lo, hi; };
+    std::vector<Slice> slices;
+    for (int j = 0; j < njobs; j++) {
+        int na = jobs[j].na;
+        int k = per;
+        if (k > 1 && na / k < 8) k = na / 8;
+        if (k < 1) k = 1;
+        int chunk = (na + k - 1) / k;
+        for (int t = 0; t < k; t++) {
+            int lo = t * chunk, hi = lo + chunk < na ? lo + chunk : na;
+            if (lo < hi) slices.push_back({j, lo, hi});
+        }
+    }
+    std::vector<ge> partial(slices.size());
+    parallel_ranges((int)slices.size(), 1, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++)
+            jobs[slices[i].job].run_slice(partial[i], slices[i].lo,
+                                          slices[i].hi);
+    });
+    for (int j = 0; j < njobs; j++) {
+        ge acc;
+        bool first = true;
+        for (size_t i = 0; i < slices.size(); i++) {
+            if (slices[i].job != j) continue;
+            if (first) {
+                acc = partial[i];
+                first = false;
+            } else {
+                ge s;
+                ge_add(s, acc, partial[i]);
+                acc = s;
+            }
+        }
+        ge_tobytes(outs + 128 * (size_t)j, acc);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One L/R commitment: out = cQ*Q + sum_j sG[j]*G_j + sum_j sH[j]*H_j.
+// sG/sH: 32n bytes each; STRUCTURALLY zero entries (the inactive half of
+// the coefficient-form round) are skipped — vartime, exactly like
+// upstream's vartime_multiscalar_mul in inner_product_proof.rs create.
+void ed_ipp_round_msm(void* vctx, void* vqtab, const uint8_t* sG,
+                      const uint8_t* sH, const uint8_t* cQ, uint8_t* out) {
+    MsmJob job;
+    job.build((const IppCtx*)vctx, (const cge*)vqtab, sG, sH, cQ);
+    run_jobs(&job, 1, out);
+}
+
+// L and R of one round in a single pool dispatch (they are independent:
+// both read only a/b and the coefficient vectors of the round)
+void ed_ipp_round_msm_pair(void* vctx, void* vqtab,
+                           const uint8_t* sGl, const uint8_t* sHl,
+                           const uint8_t* cQl,
+                           const uint8_t* sGr, const uint8_t* sHr,
+                           const uint8_t* cQr, uint8_t* outLR) {
+    MsmJob jobs[2];
+    jobs[0].build((const IppCtx*)vctx, (const cge*)vqtab, sGl, sHl, cQl);
+    jobs[1].build((const IppCtx*)vctx, (const cge*)vqtab, sGr, sHr, cQr);
+    run_jobs(jobs, 2, outLR);
+}
 
 }  // extern "C"

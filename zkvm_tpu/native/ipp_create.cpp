@@ -1,16 +1,26 @@
 // Fused inner-product-argument prover: all log2(n) rounds in ONE host call.
 //
 // Upstream counterpart: bulletproofs/src/inner_product_proof.rs
-// InnerProductProof::create.  The round structure (L/R commitment MSMs,
-// transcript challenge u, a/b/G/H halving folds, lazy first-round
-// G_factors/H_factors) mirrors proofs/ipp.py::InnerProductProof.create
-// bit-for-bit — that Python path stays the ground truth and the parity
-// oracle (tests/test_ipp.py).
+// InnerProductProof::create.  The transcript sequence (L/R commitments,
+// challenge u, a/b scalar folds) mirrors proofs/ipp.py bit-for-bit — that
+// Python path stays the ground truth and the parity oracle
+// (tests/test_ipp.py).
 //
-// Why: the per-round engine calls cost more in Python marshalling
-// (int.to_bytes / ctypes packing per scalar and point) than the native
-// group math itself — profiled at ~22 of the 25 ms of a 64-bit rangeproof
-// prove.  One crossing with contiguous byte buffers removes all of it.
+// v2 — COEFFICIENT FORM (round 4): the G/H point-fold chains are gone.
+// After r rounds the folded vector satisfies Ghat_r[i] = sum over original
+// indices j with j mod m == i of (prod_s u_s^{±1}) * gf_j * G_j, so every
+// round's L/R commitment is an MSM over the ORIGINAL generators with
+// running coefficient vectors CG/CH updated by u / u^{-1} per half-run.
+// That trades ~124 per-element 256-bit fold ladders (each 252 doubles) for
+// n extra scalar muls per round (~100 ns each) and rides prebuilt width-6
+// NAF tables in cached-Niels form that amortize across rounds AND proofs
+// (edwards255.cpp ed_ipp_ctx_new / ed_ipp_round_msm).  L/R are the same
+// group elements as the fold-based rounds, so compressed bytes — and hence
+// the transcript and the proof — are bit-identical.
+//
+// Why fused at all: the per-round engine calls cost more in Python
+// marshalling than the native group math itself — profiled at ~22 of the
+// 25 ms of a 64-bit rangeproof prove in round 3.
 
 #include <cstdint>
 #include <cstring>
@@ -18,7 +28,6 @@
 
 // extern-C seams from the sibling translation units
 extern "C" {
-struct StrobeOpaque;  // real layout lives in strobe.cpp; only pointers here
 void strobe_append_message(void* s, const uint8_t* label, size_t label_len,
                            const uint8_t* data, size_t data_len);
 void strobe_challenge_bytes(void* s, const uint8_t* label, size_t label_len,
@@ -29,12 +38,17 @@ void scl_mul_scalar(const uint8_t* a, const uint8_t* b, int n, uint8_t* out);
 void scl_add(const uint8_t* a, const uint8_t* b, int n, uint8_t* out);
 void scl_inner(const uint8_t* a, const uint8_t* b, int n, uint8_t* out);
 void scl_batch_invert(const uint8_t* a, int n, uint8_t* out);
-void ed_msm(const uint8_t* scalars, const uint8_t* points, int n, int ct,
-            uint8_t* out);
-void ed_fold(const uint8_t* s1, const uint8_t* s2, const uint8_t* P,
-             const uint8_t* Q, int n, int ct, uint8_t* out);
-void ed_fold1(const uint8_t* s, const uint8_t* P, const uint8_t* Q,
-              int n, int ct, uint8_t* out);
+void* ed_ipp_ctx_new(const uint8_t* G, const uint8_t* H, int n);
+void ed_ipp_ctx_free(void* ctx);
+void* ed_ipp_qtab_new(const uint8_t* Q);
+void ed_ipp_qtab_free(void* tab);
+void ed_ipp_round_msm(void* ctx, void* qtab, const uint8_t* sG,
+                      const uint8_t* sH, const uint8_t* cQ, uint8_t* out);
+void ed_ipp_round_msm_pair(void* ctx, void* qtab,
+                           const uint8_t* sGl, const uint8_t* sHl,
+                           const uint8_t* cQl,
+                           const uint8_t* sGr, const uint8_t* sHr,
+                           const uint8_t* cQr, uint8_t* outLR);
 void ristretto_compress_batch(const uint8_t* in, int n, uint8_t* out);
 }
 
@@ -60,83 +74,64 @@ extern "C" {
 // s: live transcript (advanced exactly like the Python path).
 // ipp_label: the inner-product domain-separation label bytes.
 // Q: 128-byte extended point.  Gf/Hf: 32n-byte factor vectors.
-// G/H: 128n-byte extended points (scratch, mutated).
+// G/H: 128n-byte extended points (read-only in v2).
 // a/b: 32n-byte canonical scalars (scratch, mutated; final values at [0]).
 // out_LR: 64*lg2(n) bytes — compressed L,R per round.
+// gens_ctx: optional prebuilt ed_ipp_ctx_new(G, H, n) handle (cached per
+// generator set by the Python layer); null builds and frees one locally.
 // Returns 0 on success, -1 on bad n.
 int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
                const uint8_t* Q, const uint8_t* Gf, const uint8_t* Hf,
                uint8_t* G, uint8_t* H, uint8_t* a, uint8_t* b,
-               int n, int ct, uint8_t* out_LR) {
+               int n, int ct, uint8_t* out_LR, void* gens_ctx) {
+    (void)ct;  // vartime throughout, as upstream's create
     if (n <= 0 || (n & (n - 1)) != 0) return -1;
 
     strobe_append_message(s, (const uint8_t*)"dom-sep", 7,
                           ipp_label, ipp_label_len);
     append_u64_msg(s, "n", 1, (uint64_t)n);
 
-    std::vector<uint8_t> sc((size_t)n * 32 + 32);      // MSM scalar buffer
-    std::vector<uint8_t> pt((size_t)n * 128 + 128);    // MSM point buffer
+    void* ctx = gens_ctx ? gens_ctx : ed_ipp_ctx_new(G, H, n);
+    void* qtab = ed_ipp_qtab_new(Q);
+
+    // running per-original coefficient vectors (start = the lazy
+    // first-round G_factors/H_factors, exactly like the fold-based rounds)
+    std::vector<uint8_t> CG(Gf, Gf + 32 * (size_t)n);
+    std::vector<uint8_t> CH(Hf, Hf + 32 * (size_t)n);
+    std::vector<uint8_t> sGl((size_t)n * 32), sHl((size_t)n * 32);
+    std::vector<uint8_t> sGr((size_t)n * 32), sHr((size_t)n * 32);
     std::vector<uint8_t> t1((size_t)n * 16), t2((size_t)n * 16);
-    std::vector<uint8_t> fold_out((size_t)n * 64);
-    uint8_t LR_ext[256], c[32], u[32], u_inv[32], usq[32], uisq[32];
+    uint8_t LR_ext[256], cl[32], cr[32], u[32], u_inv[32];
 
-    // Pending-factor folds: the TRUE folded vectors are G = cg*Ghat,
-    // H = ch*Hhat with cg = prod u_inv, ch = prod u over past rounds.
-    // Folding Ghat[i] = Ghat_L[i] + u^2*Ghat_R[i] costs ONE table + one
-    // add per window (ed_fold1) instead of two; the cg/ch factors ride
-    // the (cheap) MSM scalar vectors.  L/R points are bit-identical:
-    // the MSM computes the same group element, compression is canonical.
-    uint8_t cg[32] = {1}, ch[32] = {1};
-    bool cg_one = true;
-
-    bool first = true;
+    int m = n;
     int round = 0;
-    while (n != 1) {
-        int h = n / 2;
+    while (m != 1) {
+        int h = m / 2;
         uint8_t* aL = a;            uint8_t* aR = a + 32 * (size_t)h;
         uint8_t* bL = b;            uint8_t* bR = b + 32 * (size_t)h;
-        uint8_t* GL = G;            uint8_t* GR = G + 128 * (size_t)h;
-        uint8_t* HL = H;            uint8_t* HR = H + 128 * (size_t)h;
 
-        // ---- L = MSM(cg*(aL∘gfR) + ch*(bR∘hfL) + cL over GhatR + HhatL + Q)
-        scl_inner(aL, bR, h, c);
-        if (first) {
-            scl_mul(aL, Gf + 32 * (size_t)h, h, sc.data());
-            scl_mul(bR, Hf, h, sc.data() + 32 * (size_t)h);
-        } else {
-            std::memcpy(sc.data(), aL, 32 * (size_t)h);
-            std::memcpy(sc.data() + 32 * (size_t)h, bR, 32 * (size_t)h);
+        // Original index j sits at position i = j mod m of the folded
+        // vector; positions split into contiguous lo/hi runs per block of
+        // m.  L pairs aL with Ghat_hi and bR with Hhat_lo; R mirrors.
+        std::memset(sGl.data(), 0, 32 * (size_t)n);
+        std::memset(sHl.data(), 0, 32 * (size_t)n);
+        std::memset(sGr.data(), 0, 32 * (size_t)n);
+        std::memset(sHr.data(), 0, 32 * (size_t)n);
+        for (int base = 0; base < n; base += m) {
+            scl_mul(aL, CG.data() + 32 * (size_t)(base + h), h,
+                    sGl.data() + 32 * (size_t)(base + h));
+            scl_mul(bR, CH.data() + 32 * (size_t)base, h,
+                    sHl.data() + 32 * (size_t)base);
+            scl_mul(aR, CG.data() + 32 * (size_t)base, h,
+                    sGr.data() + 32 * (size_t)base);
+            scl_mul(bL, CH.data() + 32 * (size_t)(base + h), h,
+                    sHr.data() + 32 * (size_t)(base + h));
         }
-        if (!cg_one) {
-            scl_mul_scalar(sc.data(), cg, h, sc.data());
-            scl_mul_scalar(sc.data() + 32 * (size_t)h, ch, h,
-                           sc.data() + 32 * (size_t)h);
-        }
-        std::memcpy(sc.data() + 64 * (size_t)h, c, 32);
-        std::memcpy(pt.data(), GR, 128 * (size_t)h);
-        std::memcpy(pt.data() + 128 * (size_t)h, HL, 128 * (size_t)h);
-        std::memcpy(pt.data() + 256 * (size_t)h, Q, 128);
-        ed_msm(sc.data(), pt.data(), 2 * h + 1, ct, LR_ext);
-
-        // ---- R = MSM(cg*(aR∘gfL) + ch*(bL∘hfR) + cR over GhatL + HhatR + Q)
-        scl_inner(aR, bL, h, c);
-        if (first) {
-            scl_mul(aR, Gf, h, sc.data());
-            scl_mul(bL, Hf + 32 * (size_t)h, h, sc.data() + 32 * (size_t)h);
-        } else {
-            std::memcpy(sc.data(), aR, 32 * (size_t)h);
-            std::memcpy(sc.data() + 32 * (size_t)h, bL, 32 * (size_t)h);
-        }
-        if (!cg_one) {
-            scl_mul_scalar(sc.data(), cg, h, sc.data());
-            scl_mul_scalar(sc.data() + 32 * (size_t)h, ch, h,
-                           sc.data() + 32 * (size_t)h);
-        }
-        std::memcpy(sc.data() + 64 * (size_t)h, c, 32);
-        std::memcpy(pt.data(), GL, 128 * (size_t)h);
-        std::memcpy(pt.data() + 128 * (size_t)h, HR, 128 * (size_t)h);
-        std::memcpy(pt.data() + 256 * (size_t)h, Q, 128);
-        ed_msm(sc.data(), pt.data(), 2 * h + 1, ct, LR_ext + 128);
+        scl_inner(aL, bR, h, cl);
+        scl_inner(aR, bL, h, cr);
+        // L and R fill the whole pool in ONE dispatch (2 slices each)
+        ed_ipp_round_msm_pair(ctx, qtab, sGl.data(), sHl.data(), cl,
+                              sGr.data(), sHr.data(), cr, LR_ext);
 
         ristretto_compress_batch(LR_ext, 2, out_LR + 64 * (size_t)round);
         strobe_append_message(s, (const uint8_t*)"L", 1,
@@ -154,44 +149,28 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
         scl_mul_scalar(bR, u, h, t2.data());
         scl_add(t1.data(), t2.data(), h, b);
 
-        // ---- fold points (skipped after the last round — nothing
-        // consumes the folded vectors then).  First round: exact
-        // two-term fold with the per-element gf/hf factors (the lazy
-        // first fold, as upstream); cg/ch stay 1.  Later rounds have the
-        // SAME scalar pair (u_inv, u) for every element, so fold in
-        // pending-factor form with ONE table + one add per window:
-        //   Ghat = GhatL + u^2 * GhatR,     cg *= u_inv
-        //   Hhat = HhatL + u_inv^2 * HhatR, ch *= u
-        // (true G = cg*Ghat; the cg/ch factors ride the MSM scalars).
+        // ---- coefficient update (replaces the point fold):
+        //   G' = u_inv*G_lo + u*G_hi  ->  CG lo *= u_inv, CG hi *= u
+        //   H' = u*H_lo + u_inv*H_hi  ->  CH lo *= u,     CH hi *= u_inv
+        // (skipped after the last round — nothing consumes them then)
         if (h > 1) {
-            if (first) {
-                scl_mul_scalar(Gf, u_inv, h, t1.data());
-                scl_mul_scalar(Gf + 32 * (size_t)h, u, h, t2.data());
-                ed_fold(t1.data(), t2.data(), GL, GR, h, ct,
-                        fold_out.data());
-                std::memcpy(G, fold_out.data(), 128 * (size_t)h);
-                scl_mul_scalar(Hf, u, h, t1.data());
-                scl_mul_scalar(Hf + 32 * (size_t)h, u_inv, h, t2.data());
-                ed_fold(t1.data(), t2.data(), HL, HR, h, ct,
-                        fold_out.data());
-                std::memcpy(H, fold_out.data(), 128 * (size_t)h);
-            } else {
-                scl_mul(u, u, 1, usq);
-                scl_mul(u_inv, u_inv, 1, uisq);
-                ed_fold1(usq, GR, GL, h, ct, fold_out.data());
-                std::memcpy(G, fold_out.data(), 128 * (size_t)h);
-                ed_fold1(uisq, HR, HL, h, ct, fold_out.data());
-                std::memcpy(H, fold_out.data(), 128 * (size_t)h);
-                scl_mul(cg, u_inv, 1, cg);
-                scl_mul(ch, u, 1, ch);
-                cg_one = false;
+            for (int base = 0; base < n; base += m) {
+                uint8_t* cg_lo = CG.data() + 32 * (size_t)base;
+                uint8_t* cg_hi = cg_lo + 32 * (size_t)h;
+                uint8_t* ch_lo = CH.data() + 32 * (size_t)base;
+                uint8_t* ch_hi = ch_lo + 32 * (size_t)h;
+                scl_mul_scalar(cg_lo, u_inv, h, cg_lo);
+                scl_mul_scalar(cg_hi, u, h, cg_hi);
+                scl_mul_scalar(ch_lo, u, h, ch_lo);
+                scl_mul_scalar(ch_hi, u_inv, h, ch_hi);
             }
         }
 
-        first = false;
-        n = h;
+        m = h;
         round++;
     }
+    ed_ipp_qtab_free(qtab);
+    if (!gens_ctx) ed_ipp_ctx_free(ctx);
     return 0;
 }
 

@@ -128,12 +128,17 @@ class Party:
         return BitCommitment(self.V.compress(), A, S)
 
     def assign_position(self, j: int) -> BitCommitment:
-        sa, pa, ss, ps = self.bit_commitment_parts(j)
-        # A = a_blinding*B_blinding + <a_L, G> + <a_R, H>; likewise S with
-        # the s vectors.  The scalars are SECRET (bits of v, blinding
-        # randomness): msm_secret, as upstream party.rs multiscalar_mul.
+        _sa, pa, ss, ps = self.bit_commitment_parts(j)
+        # A = a_blinding*B_blinding + <a_L, G> + <a_R, H> via the
+        # bit-structured fast path; S = full ct MSM over the secret s
+        # vectors, as upstream party.rs multiscalar_mul.
         eng = get_engine()
-        A, S = eng.msm_batch([sa, ss], [pa, ps], ct=True)
+        n = self.n
+        A = eng.bit_commit_batch([
+            (self.a_blinding, self.a_L, self.pc_gens.B_blinding,
+             pa[1:n + 1], pa[n + 1:])
+        ])[0]
+        S = eng.msm_secret(ss, ps)
         return self.finish_bit_commitment(A, S)
 
     def apply_challenge(self, vc: BitChallenge) -> PolyCommitment:

@@ -75,18 +75,24 @@ class RangeProof:
             Party(bp_gens, pc_gens, v, b, n, rng=rng)
             for v, b in zip(values, blindings)
         ]
-        # every party's A/S commitment MSM in ONE engine msm_batch call
-        # (2m groups of 2n+1) — the host+TPU hybrid prove seam: the JAX
+        # every party's S commitment MSM in ONE engine msm_batch call
+        # (m groups of 2n+1) — the host+TPU hybrid prove seam: the JAX
         # engine fuses the whole batch into a single device dispatch once
-        # the work clears its measured crossover
-        groups_s, groups_p = [], []
+        # the work clears its measured crossover.  A commitments take the
+        # bit-structured fast path (a_L bits / a_R = a_L - 1 collapse the
+        # ct MSM to n ct selects; engine.bit_commit_batch)
+        groups_s, groups_p, a_jobs = [], [], []
         for j, p in enumerate(parties):
-            sa, pa, ss, ps = p.bit_commitment_parts(j)
-            groups_s += [sa, ss]
-            groups_p += [pa, ps]
-        outs = get_engine().msm_batch(groups_s, groups_p, ct=True)
+            _sa, pa, ss, ps = p.bit_commitment_parts(j)
+            a_jobs.append((p.a_blinding, p.a_L, pc_gens.B_blinding,
+                           pa[1:n + 1], pa[n + 1:]))
+            groups_s.append(ss)
+            groups_p.append(ps)
+        eng = get_engine()
+        outs_s = eng.msm_batch(groups_s, groups_p, ct=True)
+        outs_a = eng.bit_commit_batch(a_jobs)
         bit_commitments = [
-            p.finish_bit_commitment(outs[2 * j], outs[2 * j + 1])
+            p.finish_bit_commitment(outs_a[j], outs_s[j])
             for j, p in enumerate(parties)
         ]
         value_commitments = [bc.V_j for bc in bit_commitments]
