@@ -722,7 +722,9 @@ def main():
     # moment the device comes up; the full bench (and the driver's run)
     # then always has a fresh on-chip number even if the tunnel dies later.
     if "--onchip-now" in sys.argv:
-        probe = _run_child("probe", timeout=420)
+        probe = _run_child(
+            "probe",
+            timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "420")))
         if not (probe and probe.get("platform") in ("tpu", "axon")):
             print("# --onchip-now: device unreachable", file=sys.stderr)
             return

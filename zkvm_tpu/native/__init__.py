@@ -330,20 +330,26 @@ def ed_fold(s1, s2, P, Q, ct: bool = False):
     return [_unpack_point(out.raw, i) for i in range(n)]
 
 
-# prebuilt IPP w-NAF generator tables, keyed by the packed G||H bytes
-# (ed_ipp_ctx_new; ~340 KB per n=64 entry — bounded LRU)
-_IPP_CTX: "dict[bytes, int]" = {}
+# prebuilt IPP w-NAF generator tables (ed_ipp_ctx_new), keyed by the
+# IDENTITY of the generator point objects — BulletproofGens returns slices
+# of its cached G_vec/H_vec lists, so the endpoints pin the exact vector.
+# The cache holds strong refs to the keyed points so ids can't be reused.
+_IPP_CTX: "dict[tuple, tuple]" = {}
 _IPP_CTX_MAX = 8
 
 
-def _ipp_gens_ctx(lib, gh_key: bytes, gblob: bytes, hblob: bytes, n: int):
-    ctx = _IPP_CTX.get(gh_key)
-    if ctx is None:
-        ctx = lib.ed_ipp_ctx_new(gblob, hblob, n)
-        if len(_IPP_CTX) >= _IPP_CTX_MAX:
-            _, old = _IPP_CTX.popitem()
-            lib.ed_ipp_ctx_free(old)
-        _IPP_CTX[gh_key] = ctx
+def _ipp_gens_ctx(lib, G_eps, H_eps, n: int):
+    key = (id(G_eps[0]), id(G_eps[-1]), id(H_eps[0]), id(H_eps[-1]), n)
+    hit = _IPP_CTX.get(key)
+    if hit is not None:
+        return hit[0]
+    # packing the points (~0.6 s at n = 2^16) happens only on a miss: the
+    # native ipp_create never reads G/H when handed a prebuilt ctx
+    ctx = lib.ed_ipp_ctx_new(_pack_points(G_eps), _pack_points(H_eps), n)
+    if len(_IPP_CTX) >= _IPP_CTX_MAX:
+        _, (old, _refs) = _IPP_CTX.popitem()
+        lib.ed_ipp_ctx_free(old)
+    _IPP_CTX[key] = (ctx, (G_eps[0], G_eps[-1], H_eps[0], H_eps[-1]))
     return ctx
 
 
@@ -370,13 +376,12 @@ def ipp_create_fused(strobe, ipp_label: bytes, Q_ep, G_factors, H_factors,
         b"".join((int(s) % L).to_bytes(32, "little") for s in a), 32 * n)
     bbuf = ctypes.create_string_buffer(
         b"".join((int(s) % L).to_bytes(32, "little") for s in b), 32 * n)
-    gblob, hblob = _pack_points(G_eps), _pack_points(H_eps)
-    gbuf = ctypes.create_string_buffer(gblob, 128 * n)
-    hbuf = ctypes.create_string_buffer(hblob, 128 * n)
-    ctx = _ipp_gens_ctx(lib, gblob + hblob, gblob, hblob, n)
+    ctx = _ipp_gens_ctx(lib, G_eps, H_eps, n)
     out_lr = ctypes.create_string_buffer(max(64 * lg, 1))
+    # G/H buffers are never read when a prebuilt ctx is passed — skip the
+    # 128n-byte packing entirely (it was ~0.6 s/prove at n = 2^16)
     rc = lib.ipp_create(strobe._buf, ipp_label, len(ipp_label),
-                        _pack_points([Q_ep]), gf, hf, gbuf, hbuf,
+                        _pack_points([Q_ep]), gf, hf, b"", b"",
                         abuf, bbuf, n, int(ct), out_lr, ctx)
     if rc != 0:
         return None

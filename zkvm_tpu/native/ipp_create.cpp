@@ -40,6 +40,8 @@ void scl_inner(const uint8_t* a, const uint8_t* b, int n, uint8_t* out);
 void scl_batch_invert(const uint8_t* a, int n, uint8_t* out);
 void* ed_ipp_ctx_new(const uint8_t* G, const uint8_t* H, int n);
 void ed_ipp_ctx_free(void* ctx);
+void* ed_ipp_materialize(void* ctx, const uint8_t* CG, const uint8_t* CH,
+                         int mNew);
 void* ed_ipp_qtab_new(const uint8_t* Q);
 void ed_ipp_qtab_free(void* tab);
 void ed_ipp_round_msm(void* ctx, void* qtab, const uint8_t* sG,
@@ -105,19 +107,21 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
 
     int m = n;
     int round = 0;
+    int nb = n;              // current BASIS size per side (ctx->n)
+    bool own_ctx = (gens_ctx == nullptr);
     while (m != 1) {
         int h = m / 2;
         uint8_t* aL = a;            uint8_t* aR = a + 32 * (size_t)h;
         uint8_t* bL = b;            uint8_t* bR = b + 32 * (size_t)h;
 
-        // Original index j sits at position i = j mod m of the folded
+        // Basis index j sits at position i = j mod m of the folded
         // vector; positions split into contiguous lo/hi runs per block of
         // m.  L pairs aL with Ghat_hi and bR with Hhat_lo; R mirrors.
-        std::memset(sGl.data(), 0, 32 * (size_t)n);
-        std::memset(sHl.data(), 0, 32 * (size_t)n);
-        std::memset(sGr.data(), 0, 32 * (size_t)n);
-        std::memset(sHr.data(), 0, 32 * (size_t)n);
-        for (int base = 0; base < n; base += m) {
+        std::memset(sGl.data(), 0, 32 * (size_t)nb);
+        std::memset(sHl.data(), 0, 32 * (size_t)nb);
+        std::memset(sGr.data(), 0, 32 * (size_t)nb);
+        std::memset(sHr.data(), 0, 32 * (size_t)nb);
+        for (int base = 0; base < nb; base += m) {
             scl_mul(aL, CG.data() + 32 * (size_t)(base + h), h,
                     sGl.data() + 32 * (size_t)(base + h));
             scl_mul(bR, CH.data() + 32 * (size_t)base, h,
@@ -154,7 +158,7 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
         //   H' = u*H_lo + u_inv*H_hi  ->  CH lo *= u,     CH hi *= u_inv
         // (skipped after the last round — nothing consumes them then)
         if (h > 1) {
-            for (int base = 0; base < n; base += m) {
+            for (int base = 0; base < nb; base += m) {
                 uint8_t* cg_lo = CG.data() + 32 * (size_t)base;
                 uint8_t* cg_hi = cg_lo + 32 * (size_t)h;
                 uint8_t* ch_lo = CH.data() + 32 * (size_t)base;
@@ -164,13 +168,34 @@ int ipp_create(void* s, const uint8_t* ipp_label, size_t ipp_label_len,
                 scl_mul_scalar(ch_lo, u, h, ch_lo);
                 scl_mul_scalar(ch_hi, u_inv, h, ch_hi);
             }
+            // ---- large-n hybrid: once the fold has shrunk 8x below the
+            // basis, collapse the coefficients into a materialized basis
+            // of h points per side (one batched k-way fold ~3x cheaper
+            // than the 2-way ladders it stands for) so subsequent round
+            // MSMs touch h actives instead of nb — the pure coefficient
+            // form is O(n) actives EVERY round, which is what made the
+            // 2^15 R1CS prove IPP 5.3 s host-side.
+            if (h >= 8 && nb / h >= 8) {
+                void* nctx = ed_ipp_materialize(ctx, CG.data(), CH.data(),
+                                                h);
+                if (own_ctx) ed_ipp_ctx_free(ctx);
+                ctx = nctx;
+                own_ctx = true;
+                nb = h;
+                std::memset(CG.data(), 0, 32 * (size_t)nb);
+                std::memset(CH.data(), 0, 32 * (size_t)nb);
+                for (int i = 0; i < nb; i++) {
+                    CG[32 * (size_t)i] = 1;   // canonical scalar one
+                    CH[32 * (size_t)i] = 1;
+                }
+            }
         }
 
         m = h;
         round++;
     }
     ed_ipp_qtab_free(qtab);
-    if (!gens_ctx) ed_ipp_ctx_free(ctx);
+    if (own_ctx) ed_ipp_ctx_free(ctx);
     return 0;
 }
 

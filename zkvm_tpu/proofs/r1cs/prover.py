@@ -312,7 +312,15 @@ class Prover:
         ts.append_scalar(b"e_blinding", e_blinding)
 
         w = ts.challenge_scalar(b"w")
-        Q = self.pc_gens.B * w
+        # w is a public challenge: vartime fixed-base table mul instead of
+        # the oracle double-and-add (cf. mpc.py dealer)
+        from ...native import ed_fixed_mul, ed_fixed_slot
+        from ...oracle.ristretto import RistrettoPoint
+        _slot = ed_fixed_slot(self.pc_gens.B.ep)
+        if _slot is not None:
+            Q = RistrettoPoint(ed_fixed_mul(_slot, w, ct=False))
+        else:
+            Q = self.pc_gens.B * w
 
         G_factors = [1] * n1 + [u] * (n2 + pad)
         H_factors = [gf * yi % L for gf, yi in zip(G_factors, exp_y_inv)]
