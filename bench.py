@@ -344,6 +344,59 @@ def _child_batch(nb: int):
     })
 
 
+def _child_txbatch(ntx: int):
+    """Full-tx batch verification (BASELINE config 4 single-chip figure):
+    ntx issue->cloak->output txs through fused_verify_tx_batch — every
+    tx's R1CS mega-check + the combined point-op check in ONE deduped RLC
+    MSM, dispatched through the JAX engine (device when the chip is up)."""
+    _configure_cache()
+    import random
+
+    import jax
+
+    from zkvm_tpu.apps import Token, issue_program
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.crypto.starsig import VerificationKey
+    from zkvm_tpu.kernels.engine import JaxEngine
+    from zkvm_tpu.parallel.tx_batch import fused_verify_tx_batch
+    from zkvm_tpu.proofs.engine import set_engine
+    from zkvm_tpu.proofs.generators import BulletproofGens
+    from zkvm_tpu.vm import Tx, TxHeader, build_tx
+
+    bp = BulletproofGens(1024)
+    header = TxHeader(1, 0, 10_000)
+    r = random.Random(20260819)
+    t0 = time.time()
+    txs = []
+    for i in range(ntx):
+        secret = r.randrange(1, L)
+        pred = VerificationKey.from_secret(secret).point
+        token = Token(pred, b"bench-%d" % i)
+        prog, _, _ = issue_program(token, 10 + i, pred)
+        tx, _ = build_tx(prog, header, bp, {pred: secret})
+        txs.append(Tx.from_bytes(tx.to_bytes()))
+    build_s = time.time() - t0
+
+    if jax.default_backend() in ("tpu", "axon"):
+        set_engine(JaxEngine())
+    t0 = time.time()
+    fused_verify_tx_batch(txs, bp)  # compile + warm
+    compile_s = time.time() - t0
+    times = []
+    for k in range(ITERS):
+        t0 = time.time()
+        fused_verify_tx_batch(txs, bp, entropy=bytes([k + 1]) * 32)
+        times.append(time.time() - t0)
+    times_sorted = sorted(times)
+    _emit({
+        "mode": "txbatch", "ntx": ntx,
+        "best_s": times_sorted[0], "median_s": times_sorted[len(times) // 2],
+        "iter_s": [round(t, 4) for t in times],
+        "compile_s": compile_s, "build_s": build_s,
+        "platform": jax.devices()[0].platform,
+    })
+
+
 def _child_host():
     """Prover-side latency + host scalar-assembly cost (CPU only)."""
     import jax
@@ -751,6 +804,20 @@ def main():
                 print(f"# onchip-now nb={nb}: {vps:.0f} verifies/s "
                       f"(pipelined {entry.get('pipelined_vps', 0):.0f}) "
                       f"recorded", file=sys.stderr)
+        ntx = int(os.environ.get("BENCH_TXNB", "256"))
+        if ntx:
+            d = _run_child("txbatch", str(ntx))
+            if d and d["platform"] in ("tpu", "axon"):
+                tps = d["ntx"] / d["median_s"]
+                record_onchip({
+                    "kind": "tx_batch", "ntx": d["ntx"],
+                    "batch_ms": round(d["median_s"] * 1e3, 1),
+                    "tx_per_sec": round(tps, 1),
+                    "iter_ms": [round(t * 1e3, 1)
+                                for t in d.get("iter_s", [])],
+                })
+                print(f"# onchip-now txbatch ntx={ntx}: {tps:.0f} tx/s "
+                      f"recorded", file=sys.stderr)
         return
 
     mode = os.environ.get("_BENCH_CHILD")
@@ -758,6 +825,8 @@ def main():
         return _child_msm(int(os.environ["_BENCH_ARG"]))
     if mode == "batch":
         return _child_batch(int(os.environ["_BENCH_ARG"]))
+    if mode == "txbatch":
+        return _child_txbatch(int(os.environ["_BENCH_ARG"]))
     if mode == "host":
         return _child_host()
     if mode == "cloak":
@@ -847,6 +916,27 @@ def main():
             "platform": d["platform"],
         }
         STATE["value"] = value  # live headline now survives any termination
+
+    # 1b) full-tx batch verification (BASELINE config 4 single-chip tx/s)
+    ntx = int(os.environ.get("BENCH_TXNB", "256"))
+    if device_ok and ntx:
+        d = _run_child("txbatch", str(ntx))
+        if d:
+            tps = d["ntx"] / d["median_s"]
+            out["tx_batch"] = {
+                "ntx": d["ntx"], "median_s": round(d["median_s"], 4),
+                "tx_per_sec": round(tps, 1), "platform": d["platform"],
+            }
+            print(f"# tx batch ntx={ntx}: {tps:.0f} tx/s "
+                  f"(platform {d['platform']})", file=sys.stderr)
+            if d["platform"] in ("tpu", "axon"):
+                record_onchip({
+                    "kind": "tx_batch", "ntx": d["ntx"],
+                    "batch_ms": round(d["median_s"] * 1e3, 1),
+                    "tx_per_sec": round(tps, 1),
+                    "iter_ms": [round(t * 1e3, 1)
+                                for t in d.get("iter_s", [])],
+                })
 
     # 2) virtual-mesh scaling efficiency — CPU-only (independent of the
     # tunnel), so it runs EARLY and always lands in the official record

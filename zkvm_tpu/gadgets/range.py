@@ -18,6 +18,10 @@ def range_proof_gadget(cs, v, n: int, assignment: int | None = None):
     Prover passes the integer assignment; verifier passes None.
     """
     v = _as_lc(v)
+    # accumulate the recomposition terms in one list: building it with
+    # repeated `v = v - b*2^i` copies the growing term list every bit
+    # (O(n^2) tuples — ~40% of a full-tx VM replay at n=64)
+    recomp = list(v.terms)
     exp_2 = 1
     for i in range(n):
         bit = None if assignment is None else (assignment >> i) & 1
@@ -27,7 +31,7 @@ def range_proof_gadget(cs, v, n: int, assignment: int | None = None):
         # b is a bit: a*b = 0 with a = 1 - b
         cs.constrain(_as_lc(o))
         cs.constrain(a + b - 1)
-        v = v - b * exp_2
+        recomp.append((b, (-exp_2) % L))
         exp_2 = (exp_2 * 2) % L
     # v == sum b_i 2^i
-    cs.constrain(v)
+    cs.constrain(LinearCombination(recomp))
