@@ -94,6 +94,84 @@ def verify_tx_batch(
     return verified
 
 
+# ---------------------------------------------------------------- pool
+# persistent spawn-based process pool for tx precompute.  "spawn", not
+# fork: the native WorkerPool threads and XLA runtime threads do not
+# survive a fork (a forked child would hang on the first parallel_ranges).
+_PRE_POOL = None
+_PRE_POOL_PROCS = 0
+_WORKER_GENS: dict = {}
+
+
+def _get_pool(procs: int):
+    global _PRE_POOL, _PRE_POOL_PROCS
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    if _PRE_POOL is None or _PRE_POOL_PROCS != procs:
+        if _PRE_POOL is not None:
+            _PRE_POOL.shutdown(wait=False)
+        _PRE_POOL = ProcessPoolExecutor(
+            max_workers=procs, mp_context=mp.get_context("spawn"))
+        _PRE_POOL_PROCS = procs
+    return _PRE_POOL
+
+
+def _weight(entropy: bytes, txid: bytes, tag: bytes, j: int = 0) -> int:
+    """Per-check RLC weight.  Bound to the verifier's entropy and the tx
+    CONTENT (txid), so checks cannot cancel across the batch — same
+    argument as upstream PointOp::verify_batch's thread_rng weights, with
+    the randomness made replayable for the process-pool workers."""
+    return int.from_bytes(
+        hashlib.sha3_512(
+            entropy + txid + tag + j.to_bytes(8, "little")).digest(),
+        "little") % L
+
+
+def _chunk_precompute_star(args):
+    return _chunk_precompute(*args)
+
+
+def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
+    """Worker: replay + weight + accumulate a chunk of txs.  Returns
+    (verified_txs, static_acc (2+2*maxpad ints, [B_blinding, B]+G+H
+    convention), dyn_scalars, dyn_point_eps).  Accumulating the shared
+    generator columns HERE keeps the pickled result ~50x smaller than
+    shipping per-tx jobs (and the RLC work parallel)."""
+    from ..vm.verifier import precompute_tx_split
+
+    bp = _WORKER_GENS.get(caps)
+    if bp is None:
+        bp = _WORKER_GENS[caps] = BulletproofGens(caps[0], caps[1])
+
+    static_acc: list[int] = [0, 0]
+    dyn_s: list[int] = []
+    dyn_p: list[tuple] = []
+    out = []
+    for tb in txs_bytes:
+        vtx, ops, (ds, dp, ss, padded_n) = precompute_tx_split(
+            Tx.from_bytes(tb), bp)
+        out.append(vtx)
+        r = _weight(entropy, vtx.id, b"r1cs")
+        if len(static_acc) < len(ss):
+            static_acc += [0] * (len(ss) - len(static_acc))
+        for k, s in enumerate(ss):
+            if s:
+                static_acc[k] += r * s          # deferred mod
+        dyn_s.extend(r * s % L for s in ds)
+        dyn_p.extend(p.ep for p in dp)
+        for j, op in enumerate(ops):
+            ro = _weight(entropy, vtx.id, b"op", j)
+            if op.primary is not None:
+                static_acc[1] += ro * op.primary
+            if op.secondary is not None:
+                static_acc[0] += ro * op.secondary
+            for w, pbytes in op.arbitrary:
+                dyn_s.append(ro * (w % L) % L)
+                dyn_p.append(RistrettoPoint.decompress(pbytes).ep)
+    return out, [v % L for v in static_acc], dyn_s, dyn_p
+
+
 def fused_verify_tx_batch(
     txs: list[Tx],
     bp_gens: BulletproofGens,
@@ -116,55 +194,78 @@ def fused_verify_tx_batch(
     failure — upstream batch verification has the same rejection shape).
     """
     import os
-    from concurrent.futures import ThreadPoolExecutor
 
     from ..proofs.engine import get_engine
 
     if not txs:
         return []
-    workers = int(os.environ.get("ZKVM_HOST_THREADS", "0")) or min(
-        4, len(txs))
-    if workers > 1:
-        with ThreadPoolExecutor(workers) as ex:
-            pre = list(ex.map(lambda tx: precompute_tx(tx, bp_gens), txs))
+    caps = (bp_gens.gens_capacity, bp_gens.party_capacity)
+    # the VM replay + LC algebra is pure Python (holds the GIL), so
+    # parallel precompute needs PROCESSES, not threads (a persistent
+    # spawn pool); workers weight and accumulate their chunk locally
+    procs = int(os.environ.get("ZKVM_HOST_PROCS", "0")) or (
+        min(4, os.cpu_count() or 1) if len(txs) >= 16 else 1)
+    txs_bytes = [tx.to_bytes() for tx in txs]
+    if procs > 1:
+        pool = _get_pool(procs)
+        nchunk = procs * 2
+        chunks = [txs_bytes[i::nchunk] for i in range(nchunk)]
+        order = [list(range(len(txs)))[i::nchunk] for i in range(nchunk)]
+        results = list(pool.map(
+            _chunk_precompute_star,
+            [(c, caps, entropy) for c in chunks if c]))
     else:
-        pre = [precompute_tx(tx, bp_gens) for tx in txs]
+        results = [_chunk_precompute(txs_bytes, caps, entropy)]
+        order = [list(range(len(txs)))]
 
-    verified = [p[0] for p in pre]
-    jobs = [p[2] for p in pre]
-    all_ops: list[PointOp] = []
-    for p in pre:
-        all_ops.extend(p[1])
-    if all_ops:
-        jobs.append(_point_ops_job(all_ops, entropy))
+    verified: list[VerifiedTx] = [None] * len(txs)  # type: ignore
+    static_acc: list[int] = [0, 0]
+    dyn_s: list[int] = []
+    dyn_eps: list[tuple] = []
+    for (vtxs, sacc, ds, dps), idxs in zip(results, order, strict=False):
+        for vtx, i in zip(vtxs, idxs, strict=True):
+            verified[i] = vtx
+        if len(static_acc) < len(sacc):
+            static_acc += [0] * (len(sacc) - len(static_acc))
+        for k, v in enumerate(sacc):
+            if v:
+                static_acc[k] += v
+        dyn_s.extend(ds)
+        dyn_eps.extend(dps)
 
-    # batch randomness bound to the whole batch content
-    h = hashlib.sha3_512()
-    h.update(entropy)
-    for vtx in verified:
-        h.update(vtx.id)
-    seed = h.digest()
-
-    acc: dict[tuple, int] = {}   # point.ep -> accumulated scalar
-    pts: dict[tuple, RistrettoPoint] = {}
-    for i, (scalars, points) in enumerate(jobs):
-        r = int.from_bytes(
-            hashlib.sha3_512(seed + i.to_bytes(8, "little")).digest(),
-            "little") % L
-        for s, p in zip(scalars, points, strict=True):
-            key = p.ep
-            acc[key] = (acc.get(key, 0) + r * s) % L
-            pts.setdefault(key, p)
+    pc = PedersenGens()
+    maxpad = (len(static_acc) - 2) // 2
+    gens = bp_gens.share(0)
+    static_pts = [pc.B_blinding, pc.B] + gens.G(maxpad) + gens.H(maxpad)
+    scalars, points = [], []
+    for s, p in zip(static_acc, static_pts, strict=True):
+        s %= L
+        if s:
+            scalars.append(s)
+            points.append(p)
+    scalars += dyn_s
+    points += [RistrettoPoint(ep) for ep in dyn_eps]
 
     eng = get_engine()
-    if not eng.msm_is_identity(list(acc.values()),
-                               [pts[k] for k in acc]):
+    if not eng.msm_is_identity(scalars, points):
         if attribute_failures:
-            for i, (scalars, points) in enumerate(jobs):
-                if not eng.msm_is_identity(scalars, points):
-                    which = (f"tx {i}" if i < len(txs)
-                             else "combined point-op check")
+            # slow path, only on failure: name the failing tx
+            for i, tx in enumerate(txs):
+                try:
+                    vtx, ops, job = precompute_tx(tx, bp_gens)
+                    if not eng.msm_is_identity(*job):
+                        raise VerificationError(
+                            f"fused tx batch verification failed (tx {i})")
+                    if ops and not eng.msm_is_identity(
+                            *_point_ops_job(ops, entropy)):
+                        raise VerificationError(
+                            "fused tx batch verification failed "
+                            f"(tx {i} point ops)")
+                except VerificationError:
+                    raise
+                except Exception as e:
                     raise VerificationError(
-                        f"fused tx batch verification failed ({which})")
+                        f"fused tx batch verification failed (tx {i}: "
+                        f"{type(e).__name__})") from e
         raise VerificationError("fused tx batch verification failed")
     return verified

@@ -38,20 +38,23 @@ def flatten_constraints(
     wV = [0] * m
     wc = 0
     exp_z = z % L
+    # deferred mod: products stay < 2^512 and additions are cheap; one
+    # reduction per wire at the end (constraints are the VM-replay hot loop)
     for lc in constraints:
         for var, coeff in lc.terms:
-            w = exp_z * coeff % L
+            w = exp_z * coeff
             if var.kind == "ml":
-                wL[var.index] = (wL[var.index] + w) % L
+                wL[var.index] += w
             elif var.kind == "mr":
-                wR[var.index] = (wR[var.index] + w) % L
+                wR[var.index] += w
             elif var.kind == "mo":
-                wO[var.index] = (wO[var.index] + w) % L
+                wO[var.index] += w
             elif var.kind == "v":
-                wV[var.index] = (wV[var.index] - w) % L
+                wV[var.index] -= w
             elif var.kind == "one":
-                wc = (wc - w) % L
+                wc -= w
             else:  # pragma: no cover
                 raise ValueError(f"unknown variable kind {var.kind}")
         exp_z = exp_z * z % L
-    return wL, wR, wO, wV, wc
+    return ([v % L for v in wL], [v % L for v in wR], [v % L for v in wO],
+            [v % L for v in wV], wc % L)

@@ -144,7 +144,10 @@ class Prover:
         )
 
     def constrain(self, lc):
-        self.constraints.append(_as_lc(lc).simplify())
+        # no eager simplify: flatten_constraints merges duplicate terms
+        # anyway, and the per-constraint dict pass was ~25% of a full-tx
+        # VM replay (parallel/tx_batch.py batch verification)
+        self.constraints.append(_as_lc(lc))
 
     def specify_randomized_constraints(self, closure):
         """Defer a gadget closure to the randomizing (challenge) phase

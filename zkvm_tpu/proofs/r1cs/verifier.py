@@ -76,7 +76,10 @@ class Verifier:
         )
 
     def constrain(self, lc):
-        self.constraints.append(_as_lc(lc).simplify())
+        # no eager simplify: flatten_constraints merges duplicate terms
+        # anyway, and the per-constraint dict pass was ~25% of a full-tx
+        # VM replay (parallel/tx_batch.py batch verification)
+        self.constraints.append(_as_lc(lc))
 
     def specify_randomized_constraints(self, closure):
         self.deferred.append(closure)
@@ -102,10 +105,13 @@ class Verifier:
         )
 
     # ----------------------------------------------------------------- verify
-    def verification_job(
+    def verification_job_split(
         self, proof: R1CSProof, bp_gens: BulletproofGens, pc_gens: PedersenGens
-    ) -> tuple[list[int], list[RistrettoPoint]]:
-        """Emit the (scalars, points) of the mega-check MSM (batching seam)."""
+    ):
+        """Mega-check MSM inputs, split into per-proof dynamic terms and
+        scalars over the SHARED static columns: returns
+        (dyn_scalars, dyn_points, static_scalars, padded_n) with the static
+        convention [B_blinding, B] + G(padded_n) + H(padded_n)."""
         ts = self.transcript
         ts.append_u64(b"m", self.num_v)
 
@@ -190,7 +196,7 @@ class Verifier:
             + c * ((xx * ((wc + delta) % L) - proof.t_x) % L)
         ) % L
 
-        scalars = (
+        dyn_scalars = (
             [
                 x,                      # A_I1
                 xx,                     # A_O1
@@ -206,17 +212,35 @@ class Verifier:
             ]
             + [c * xx % L * wVj % L for wVj in wV]          # V_j
             + list(u_sq) + list(u_inv_sq)                   # L_vec, R_vec
-            + [(-proof.e_blinding - c * proof.t_x_blinding) % L,  # B_blinding
-               basepoint_scalar]                             # B
-            + g_scalars
-            + h_scalars
         )
-        gens = bp_gens.share(0)
-        points = (
+        dyn_points = (
             [RistrettoPoint.decompress(p) for p in proof.points()]
             + [RistrettoPoint.decompress(V) for V in self.V]
             + [RistrettoPoint.decompress(x_) for x_ in proof.ipp_proof.L_vec]
             + [RistrettoPoint.decompress(x_) for x_ in proof.ipp_proof.R_vec]
+        )
+        # static tail: scalars over the SHARED columns
+        # [B_blinding, B] + G(padded_n) + H(padded_n) — batch verifiers
+        # accumulate these per-column across proofs (parallel/tx_batch.py)
+        static_scalars = (
+            [(-proof.e_blinding - c * proof.t_x_blinding) % L,  # B_blinding
+             basepoint_scalar]                                  # B
+            + g_scalars
+            + h_scalars
+        )
+        return dyn_scalars, dyn_points, static_scalars, padded_n
+
+    def verification_job(
+        self, proof: R1CSProof, bp_gens: BulletproofGens, pc_gens: PedersenGens
+    ) -> tuple[list[int], list[RistrettoPoint]]:
+        """Emit the (scalars, points) of the mega-check MSM (batching seam)."""
+        dyn_s, dyn_p, stat_s, padded_n = self.verification_job_split(
+            proof, bp_gens, pc_gens
+        )
+        gens = bp_gens.share(0)
+        scalars = dyn_s + stat_s
+        points = (
+            dyn_p
             + [pc_gens.B_blinding, pc_gens.B]
             + gens.G(padded_n)
             + gens.H(padded_n)

@@ -40,9 +40,7 @@ class _VerifierDelegate:
         return var
 
 
-def precompute_tx(tx: Tx, bp_gens: BulletproofGens):
-    """Replay the VM and emit everything needed for (batched) verification:
-    (VerifiedTx, point_ops, r1cs (scalars, points) job)."""
+def _replay_tx(tx: Tx, bp_gens: BulletproofGens):
     pc_gens = PedersenGens()
     transcript = ProofTranscript(LABEL_ZKVM_R1CS)
     cs = R1CSVerifier(transcript)
@@ -67,12 +65,28 @@ def precompute_tx(tx: Tx, bp_gens: BulletproofGens):
         raise UnsignedTx("unexpected signature on unsigned tx")
 
     proof = R1CSProof.from_bytes(tx.proof)
-    r1cs_job = cs.verification_job(proof, bp_gens, pc_gens)
-
     verified = VerifiedTx(
         header=tx.header, id=txid, log=vm.txlog, fee=vm.total_fee
     )
+    return verified, point_ops, cs, proof, pc_gens
+
+
+def precompute_tx(tx: Tx, bp_gens: BulletproofGens):
+    """Replay the VM and emit everything needed for (batched) verification:
+    (VerifiedTx, point_ops, r1cs (scalars, points) job)."""
+    verified, point_ops, cs, proof, pc_gens = _replay_tx(tx, bp_gens)
+    r1cs_job = cs.verification_job(proof, bp_gens, pc_gens)
     return verified, point_ops, r1cs_job
+
+
+def precompute_tx_split(tx: Tx, bp_gens: BulletproofGens):
+    """precompute_tx with the R1CS job split into dynamic terms and
+    shared-static-column scalars (parallel/tx_batch.py worker form):
+    (VerifiedTx, point_ops, (dyn_scalars, dyn_points, static_scalars,
+    padded_n)) — static convention [B_blinding, B] + G + H."""
+    verified, point_ops, cs, proof, pc_gens = _replay_tx(tx, bp_gens)
+    split = cs.verification_job_split(proof, bp_gens, pc_gens)
+    return verified, point_ops, split
 
 
 def verify_tx(tx: Tx, bp_gens: BulletproofGens) -> VerifiedTx:
