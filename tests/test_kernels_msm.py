@@ -150,6 +150,21 @@ def test_jax_engine_pallas_pipeline_msm():
     assert (gy * ez - ey * gz) % P == 0
 
 
+def test_jax_engine_msm_is_identity_device_check():
+    """JaxEngine.msm_is_identity runs the rolled device combine + identity
+    test (single int32 back); accept and reject must match the oracle."""
+    r = random.Random(321)
+    pts = _rand_points(12, seed=321)
+    ks = [r.randrange(L) for _ in range(12)]
+    eng = JaxEngine(min_msm_size=4, wbits=8, pipeline="pallas")
+    # random combination: not the identity
+    assert eng.msm_is_identity(ks, pts) is False
+    # cancel exactly: s*P + (L-s)*P + 0*rest == identity
+    ks2 = [5, L - 5] + [0] * 10
+    pts2 = [pts[0], pts[0]] + pts[2:]
+    assert eng.msm_is_identity(ks2, pts2) is True
+
+
 @pytest.mark.heavy
 def test_jax_engine_end_to_end_rangeproof():
     """Swap the JAX engine in and run a full rangeproof verify through it.

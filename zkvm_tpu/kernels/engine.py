@@ -204,6 +204,30 @@ class JaxEngine(Engine):
             pmsm.combine_window_totals(totals, wbits)
         ).is_identity()
 
+    def msm_is_identity(self, scalars, points) -> bool:
+        """Verifier mega-checks: window totals + the rolled device Horner
+        combine + Ristretto identity test in back-to-back dispatches, so a
+        single int32 crosses back instead of the (4, NLIMBS, nw) totals
+        (VERDICT r3 #3; vm/verifier.py, parallel/tx_batch.py ride this)."""
+        import os
+
+        if (len(points) < self.min_msm_size or not self._use_pallas()
+                or os.environ.get("ZKVM_DEV_COMBINE") in ("0", "false")):
+            return super().msm_is_identity(scalars, points)
+        from . import pallas_msm as pmsm
+        if not hasattr(scalars, "buf"):
+            scalars = [int(s) % L for s in scalars]
+        wbits = self.wbits or pmsm.best_wbits(len(scalars))
+        pw, sw = pmsm.pack_words(
+            [_point_words(p) for p in points], scalars
+        )
+        import jax
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        totals = pmsm.window_totals_from_words(
+            jnp.asarray(pw), jnp.asarray(sw), wbits, interpret
+        )
+        return bool(int(pmsm.combine_and_check_device(totals, wbits)))
+
     def fold_points(self, s1, s2, P, Q):
         # same crossover reasoning as msm: the native threaded fold clears
         # the prover's per-round G/H folds far below one tunnel round trip
