@@ -260,6 +260,28 @@ def _pack_points(points) -> bytes:
     )
 
 
+# packed-blob cache for LARGE repeated point vectors (the R1CS/rangeproof
+# commitment bases [B_blinding] + G + H are slices of BulletproofGens'
+# cached vectors — stable object identities; ~0.1 s of int.to_bytes per
+# 131k-point pack otherwise).  Strong refs pin the keyed endpoints.
+_PACK_CACHE: "dict[tuple, tuple]" = {}
+_PACK_CACHE_MAX = 8
+
+
+def _pack_points_cached(points) -> bytes:
+    if len(points) < 1024:
+        return _pack_points(points)
+    key = (id(points[0]), id(points[1]), id(points[-1]), len(points))
+    hit = _PACK_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    blob = _pack_points(points)
+    if len(_PACK_CACHE) >= _PACK_CACHE_MAX:
+        _PACK_CACHE.popitem()
+    _PACK_CACHE[key] = (blob, (points[0], points[1], points[-1]))
+    return blob
+
+
 def _unpack_point(blob: bytes, i: int = 0):
     o = blob[128 * i: 128 * (i + 1)]
     return (
@@ -280,7 +302,7 @@ def ed_msm(scalars, points, ct: bool = False):
     n = len(points)
     sbuf = b"".join((int(s) % L).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(128)
-    lib.ed_msm(sbuf, _pack_points(points), n, int(ct), out)
+    lib.ed_msm(sbuf, _pack_points_cached(points), n, int(ct), out)
     return _unpack_point(out.raw)
 
 

@@ -176,10 +176,120 @@ void ed_set_constants(const uint8_t* d2_le) {
     ED_SET = true;
 }
 
-// out = sum scalars[i] * points[i]; Straus interleaved radix-16.
+// out = sum scalars[i] * points[i]; Straus interleaved radix-16, with a
+// vartime Pippenger bucket path above PIPPENGER_MIN (adds scale ~n*nw
+// instead of ~n*64; windows parallelize across the pool).
 // scalars: 32n bytes LE; points: 128n bytes; out: 128 bytes.
+
+namespace {
+
+constexpr int PIPPENGER_MIN = 4096;
+constexpr int PIP_W = 13;                       // signed radix-2^13
+constexpr int PIP_NW = (256 + PIP_W - 1) / PIP_W + 1;  // 20 + carry window
+constexpr int PIP_NB = 1 << (PIP_W - 1);        // 4096 buckets
+
+// signed radix-2^w digits, |d| <= 2^(w-1); valid for scalars < l < 2^253
+void to_radix_2w(int16_t* digits, const uint8_t* s) {
+    u64 x[5] = {0, 0, 0, 0, 0};
+    memcpy(x, s, 32);
+    int64_t carry = 0;
+    for (int w = 0; w < PIP_NW; w++) {
+        int bitpos = w * PIP_W;
+        u64 raw = 0;
+        int u64_idx = bitpos / 64, bit_idx = bitpos % 64;
+        if (u64_idx < 5) {
+            raw = x[u64_idx] >> bit_idx;
+            if (bit_idx > 64 - PIP_W && u64_idx + 1 < 5)
+                raw |= x[u64_idx + 1] << (64 - bit_idx);
+        }
+        int64_t d = (int64_t)(raw & ((1u << PIP_W) - 1)) + carry;
+        carry = (d + PIP_NB) >> PIP_W;
+        digits[w] = (int16_t)(d - (carry << PIP_W));
+    }
+}
+
+void pippenger_msm(const uint8_t* scalars, const uint8_t* points, int n,
+                   uint8_t* out) {
+    // decode + recode once (parallel)
+    std::vector<ge> pts((size_t)n);
+    std::vector<int16_t> digits((size_t)n * PIP_NW);
+    parallel_ranges(n, 64, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            ge_frombytes(pts[i], points + 128 * (size_t)i);
+            to_radix_2w(digits.data() + (size_t)i * PIP_NW,
+                        scalars + 32 * (size_t)i);
+        }
+    });
+    // per-window bucket accumulation + fold; windows are independent
+    std::vector<ge> wtot(PIP_NW);
+    parallel_ranges(PIP_NW, 1, [&](int wlo, int whi) {
+        std::vector<ge> buckets((size_t)PIP_NB);
+        std::vector<uint8_t> hit((size_t)PIP_NB);
+        for (int w = wlo; w < whi; w++) {
+            memset(hit.data(), 0, (size_t)PIP_NB);
+            for (int i = 0; i < n; i++) {
+                int d = digits[(size_t)i * PIP_NW + w];
+                if (d == 0) continue;
+                int b = (d > 0 ? d : -d) - 1;
+                ge* slot = &buckets[b];
+                if (d > 0) {
+                    if (hit[b]) {
+                        ge s;
+                        ge_add(s, *slot, pts[i]);
+                        *slot = s;
+                    } else {
+                        *slot = pts[i];
+                        hit[b] = 1;
+                    }
+                } else {
+                    ge neg;
+                    ge_neg(neg, pts[i]);
+                    if (hit[b]) {
+                        ge s;
+                        ge_add(s, *slot, neg);
+                        *slot = s;
+                    } else {
+                        *slot = neg;
+                        hit[b] = 1;
+                    }
+                }
+            }
+            // fold: sum_b (b+1)*bucket[b] via running suffix sums
+            ge run, acc;
+            ge_id(run);
+            ge_id(acc);
+            for (int b = PIP_NB - 1; b >= 0; b--) {
+                if (hit[b]) {
+                    ge s;
+                    ge_add(s, run, buckets[b]);
+                    run = s;
+                }
+                ge s;
+                ge_add(s, acc, run);
+                acc = s;
+            }
+            wtot[w] = acc;
+        }
+    });
+    // Horner combine across windows (serial, ~256 doubles)
+    ge acc = wtot[PIP_NW - 1];
+    for (int w = PIP_NW - 2; w >= 0; w--) {
+        for (int k = 0; k < PIP_W; k++) ge_double(acc, acc);
+        ge s;
+        ge_add(s, acc, wtot[w]);
+        acc = s;
+    }
+    ge_tobytes(out, acc);
+}
+
+}  // namespace
+
 void ed_msm(const uint8_t* scalars, const uint8_t* points, int n, int ct,
             uint8_t* out) {
+    if (!ct && n >= PIPPENGER_MIN) {
+        pippenger_msm(scalars, points, n, out);
+        return;
+    }
     ge* tables = new ge[(size_t)n * 8];
     int8_t* digits = new int8_t[(size_t)n * 64];
     parallel_ranges(n, 16, [&](int lo, int hi) {
