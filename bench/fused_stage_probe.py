@@ -96,9 +96,14 @@ def main():
     timed("s1 decompress", lambda w: decompress_points(w, False)[0], dyn_j)
 
     # s2 synthesis
-    def synth(p):
-        return bvd._synthesize(sm.decode_words_last(p), N, m, lg)
-    timed("s2 synthesize", synth, params_j)
+    if not os.environ.get("FSP_SKIP_LAST"):
+        def synth(p):
+            return bvd._synthesize(sm.decode_words_last(p), N, m, lg)
+        timed("s2 synthesize (limbs-last)", synth, params_j)
+
+    def synth_lm(p):
+        return bvd._synthesize_lm(p, N, m, lg)
+    timed("s2b synthesize (limb-major)", synth_lm, params_j)
 
     # s3 digits over all scalars
     def digits_of(p, bw):

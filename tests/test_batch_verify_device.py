@@ -133,6 +133,62 @@ def test_synthesize_parity(rng):
         assert got == expected_dyn[p]
 
 
+def test_synthesize_lm_matches_last():
+    """The limb-major synthesis (COMPACT params, on-device derivation of
+    the product channels) must agree value-for-value (mod l) with the
+    limbs-last full-layout reference on random base challenges."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zkvm_tpu.kernels.batch_verify_device import (
+        _synthesize, _synthesize_lm, pack_verification_params,
+        pack_verification_params_compact,
+    )
+    from zkvm_tpu.kernels.limbs import limbs_to_int
+    from zkvm_tpu.oracle import scalar
+
+    r = random.Random(77)
+    n, m, lg = 8, 2, 4
+    full_jobs, compact_jobs = [], []
+    for _ in range(3):
+        wt, z, x, c, a, b = (r.randrange(1, L) for _ in range(6))
+        y = r.randrange(2, L)
+        u = [r.randrange(1, L) for _ in range(lg)]
+        u_inv = scalar.batch_invert(u)
+        allinv = 1
+        for ui in u_inv:
+            allinv = allinv * ui % L
+        zz = z * z % L
+        full_jobs.append({
+            "wz": wt * z % L, "wz_neg": (-wt * z) % L,
+            "wa_neg": (-wt * a) % L, "wzz": wt * zz % L,
+            "wb_neg": (-wt * b) % L, "y_inv": scalar.invert(y), "z": z,
+            "allinv": allinv, "wt": wt, "wt_x": wt * x % L,
+            "wt_cx": wt * c % L * x % L,
+            "wt_cxx": wt * c % L * x % L * x % L,
+            "wczz": wt * c % L * zz % L,
+            "u_sq": [ui * ui % L for ui in u],
+            "u_inv_sq": [ui * ui % L for ui in u_inv],
+        })
+        compact_jobs.append({
+            "wt": wt, "z": z, "y_inv": scalar.invert(y), "allinv": allinv,
+            "a": a, "b": b, "x": x, "cx": c * x % L, "czz": c * zz % L,
+            "u_sq": [ui * ui % L for ui in u],
+        })
+    full_w = jnp.asarray(pack_verification_params(full_jobs))
+    compact_w = jnp.asarray(pack_verification_params_compact(compact_jobs))
+    gh_l, dyn_l = _synthesize(sm.decode_words_last(full_w), n, m, lg)
+    gh_m, dyn_m = _synthesize_lm(compact_w, n, m, lg)
+    gh_l, dyn_l, gh_m, dyn_m = map(np.asarray, (gh_l, dyn_l, gh_m, dyn_m))
+    assert gh_l.shape == gh_m.shape and dyn_l.shape == dyn_m.shape
+    for i in range(gh_l.shape[0]):
+        assert limbs_to_int(gh_m[i]) % L == limbs_to_int(gh_l[i]) % L, i
+    for p in range(dyn_l.shape[0]):
+        for j in range(dyn_l.shape[1]):
+            assert (limbs_to_int(dyn_m[p, j]) % L
+                    == limbs_to_int(dyn_l[p, j]) % L), (p, j)
+
+
 def _make_proofs(nb: int, n: int, m: int, seed: int):
     r = random.Random(seed)
     proofs, transcripts, vcs = [], [], []

@@ -89,6 +89,117 @@ def _pow_expand(base_2k: list[jnp.ndarray], nm: int) -> jnp.ndarray:
 N_FIXED = 12
 
 
+# COMPACT param layout (native fused_params_assembly; 9 + lg columns):
+#   [0] wt  [1] z  [2] y_inv  [3] allinv  [4] a  [5] b  [6] x
+#   [7] cx (c·x)  [8] czz (c·z²)  [9..9+lg) u_sq
+# The derived products (wz, wzz, wa_neg, ..., u_inv_sq) synthesize ON
+# DEVICE — uploading them cost ~1.4 MB/batch through the ~26 MB/s tunnel.
+N_COMPACT = 9
+
+
+def _synthesize_lm(params_words: jnp.ndarray, n: int, m: int, lg: int):
+    """Limb-MAJOR scalar synthesis: COMPACT params (nb, 9+lg, 8) u32 ->
+    the same (gh_col (2nm, 20), dyn (nb, k, 20)) as _synthesize, computed
+    on (20, nm, nb) arrays — lanes carry the proof batch, sublanes the
+    generator index, so every vreg lane is useful.  The limbs-last twin
+    below wastes 6.4x on the 20-wide minor axis (the synthesis stage was
+    ~65 of the 153 ms fused-verify compute at nb=4096; probe 2026-08-19).
+    _synthesize stays as the layout-independent parity reference."""
+    nm = n * m
+    nb = params_words.shape[0]
+    w = jnp.transpose(params_words, (1, 2, 0))        # (C, 8, nb)
+    ch = [sm.decode_words_first(w[i]) for i in range(N_COMPACT)]
+    wt, z, y_inv, allinv, a_s, b_s, x, cx, czz = ch   # each (20, nb)
+    u_sq = [sm.decode_words_first(w[N_COMPACT + j]) for j in range(lg)]
+
+    # ---- derive the full channel set (a handful of (20, nb) muls)
+    wz = sm.mul_lm(wt, z)
+    wz_neg = sm.neg_lm(wz)
+    wzz = sm.mul_lm(wz, z)
+    wa_neg = sm.neg_lm(sm.mul_lm(wt, a_s))
+    wb_neg = sm.neg_lm(sm.mul_lm(wt, b_s))
+    wt_x = sm.mul_lm(wt, x)
+    wt_cx = sm.mul_lm(wt, cx)
+    wt_cxx = sm.mul_lm(wt_cx, x)
+    wczz = sm.mul_lm(wt, czz)
+    # u_inv_sq[j] = u_j^{-2} = allinv² · Π_{k≠j} u_sq[k]  (prefix/suffix
+    # products — no device inversion needed)
+    allinv2 = sm.mul_lm(allinv, allinv)
+    pre = [None] * lg
+    suf = [None] * lg
+    acc = allinv2
+    for j in range(lg):
+        pre[j] = acc
+        acc = sm.mul_lm(acc, u_sq[j])
+    acc = None
+    for j in range(lg - 1, -1, -1):
+        suf[j] = acc
+        acc = u_sq[j] if acc is None else sm.mul_lm(acc, u_sq[j])
+    u_inv_sq = [pre[j] if suf[j] is None else sm.mul_lm(pre[j], suf[j])
+                for j in range(lg)]
+
+    one = jnp.asarray(_ONE)[:, None, None]            # (20, 1, 1)
+
+    def pow_expand(base, count):
+        """Π_j base[j]^{bit_j(i)} for i in [0, count) as a DOUBLING TREE:
+        level j multiplies only the 2^j new entries (Σ 2^j ≈ one
+        full-width mul total) — the where/mask form multiplied the full
+        width at every level (lg full muls; the synthesis stage's mod-ℓ
+        reduce is bandwidth-bound, so work ∝ elements multiplied)."""
+        acc = jnp.broadcast_to(one, (NLIMBS, 1, nb))
+        size = 1
+        for j, b in enumerate(base):
+            if size >= count:
+                break
+            hi = sm.mul_lm(acc, b[:, None, :])        # (20, size, nb)
+            acc = jnp.concatenate([acc, hi], axis=1)
+            size *= 2
+        return acc[:, :count]                         # (20, count, nb)
+
+    # s_i = allinv · Π_j u_sq[lg-1-j]^{bit_j(i)}
+    s = sm.mul_lm(pow_expand([u_sq[lg - 1 - j] for j in range(lg)], nm),
+                  allinv[:, None, :])
+    s_inv = s[:, ::-1, :]
+
+    y2 = [y_inv]
+    for _ in range(max(0, lg - 1)):
+        y2.append(sm.mul_lm(y2[-1], y2[-1]))
+    yp = pow_expand(y2, nm)
+
+    if m > 1:
+        lgm = m.bit_length() - 1
+        z2k = [z]
+        for _ in range(max(0, lgm - 1)):
+            z2k.append(sm.mul_lm(z2k[-1], z2k[-1]))
+        zpow = pow_expand(z2k, m)                     # (20, m, nb)
+    else:
+        zpow = jnp.broadcast_to(one, (NLIMBS, 1, nb))
+
+    # g_i = -wt·z - wt·a·s_i
+    g = wz_neg[:, None, :] + sm.mul_lm(wa_neg[:, None, :], s)
+
+    # h_i = wt·z + y^{-i}·(wt·z²·z^(i div n)·2^(i mod n) - wt·b·s_inv_i)
+    a_col = jnp.repeat(sm.mul_lm(wzz[:, None, :], zpow), n, axis=1)
+    p2 = jnp.asarray(_pow2_limbs(n, nm)).T[:, :, None]  # (20, nm, 1)
+    t1 = sm.mul_lm(a_col, jnp.broadcast_to(p2, a_col.shape))
+    t2 = sm.mul_lm(wb_neg[:, None, :], s_inv)
+    h = wz[:, None, :] + sm.mul_lm(yp, sm.add_lm(t1, t2))
+
+    g_col = sm.accumulate_lm(g, axis=2)               # (20, nm)
+    h_col = sm.accumulate_lm(h, axis=2)
+
+    # dyn head scalars, same order as _synthesize: A,S,T1,T2,L..,R..,V..
+    wt_b = wt[:, None, :]
+    head = ([wt_b, wt_x[:, None, :], wt_cx[:, None, :], wt_cxx[:, None, :]]
+            + [sm.mul_lm(wt_b, u[:, None, :]) for u in u_sq]
+            + [sm.mul_lm(wt_b, u[:, None, :]) for u in u_inv_sq]
+            + [sm.mul_lm(wczz[:, None, :], zpow)])
+    dyn = jnp.concatenate(head, axis=1)               # (20, k, nb)
+
+    gh_col = jnp.concatenate([g_col, h_col], axis=1).T          # (2nm, 20)
+    return gh_col, jnp.transpose(dyn, (2, 1, 0))                # (nb, k, 20)
+
+
 def _synthesize(params: jnp.ndarray, n: int, m: int, lg: int):
     """params (nb, C, 20) int32 limbs -> (static column scalars (2nm, 20),
     dyn head scalars (nb, k, 20)) — all loose limbs, value-correct mod ℓ."""
@@ -163,8 +274,7 @@ def _totals_core(static_words, dyn_words, params_words, bbB_words,
     k = 4 + 2 * lg + m
     assert dyn_words.shape[-1] == nb * k
 
-    params = sm.decode_words_last(params_words)
-    gh_col, dyn_sc = _synthesize(params, n, m, lg)
+    gh_col, dyn_sc = _synthesize_lm(params_words, n, m, lg)
     bbB = sm.decode_words_last(bbB_words)
     scalars = jnp.concatenate(
         [bbB, gh_col, dyn_sc.reshape(nb * k, NLIMBS)], axis=0
@@ -295,8 +405,9 @@ def static_gens_words(bp_gens, pc_gens, n: int, m: int) -> jnp.ndarray:
 
 # --------------------------------------------------------- host param pack
 def pack_verification_params(jobs: list[dict]) -> np.ndarray:
-    """Per-proof challenge params -> (nb, C, 8) u32.  Each job dict carries
-    canonical ints for every channel (see layout above)."""
+    """Per-proof challenge params, FULL layout -> (nb, 13+2lg, 8) u32.
+    Feeds the limbs-last _synthesize parity reference only; production
+    packs the compact form below."""
     lg = len(jobs[0]["u_sq"])
     blob = bytearray()
     for j in jobs:
@@ -311,6 +422,21 @@ def pack_verification_params(jobs: list[dict]) -> np.ndarray:
     nb = len(jobs)
     c = N_FIXED + 2 * lg + 1
     return np.frombuffer(bytes(blob), np.uint32).reshape(nb, c, 8)
+
+
+def pack_verification_params_compact(jobs: list[dict]) -> np.ndarray:
+    """COMPACT per-proof params -> (nb, 9+lg, 8) u32 (the _synthesize_lm
+    layout; derived products synthesize on device — the full layout cost
+    ~1.4 MB/batch more through the tunnel at nb=4096)."""
+    lg = len(jobs[0]["u_sq"])
+    blob = bytearray()
+    for j in jobs:
+        vals = ([j["wt"], j["z"], j["y_inv"], j["allinv"], j["a"], j["b"],
+                 j["x"], j["cx"], j["czz"]] + list(j["u_sq"]))
+        for v in vals:
+            blob += int(v).to_bytes(32, "little")
+    return np.frombuffer(bytes(blob), np.uint32).reshape(
+        len(jobs), N_COMPACT + lg, 8)
 
 
 def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
@@ -443,19 +569,13 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
             int(wt * bb_s % L).to_bytes(32, "little")
             + int(wt * b_s % L).to_bytes(32, "little")
         )
-        cz = c * zz % L
         jobs.append({
-            "wz": wt * z % L, "wz_neg": (-wt * z) % L,
-            "wa_neg": (-wt * a) % L, "wzz": wt * zz % L,
-            "wb_neg": (-wt * b) % L, "y_inv": y_invs[i], "z": z,
-            "allinv": allinv, "wt": wt, "wt_x": wt * x % L,
-            "wt_cx": wt * c % L * x % L, "wt_cxx": wt * c % L * x % L * x % L,
-            "wczz": wt * cz % L,
+            "wt": wt, "z": z, "y_inv": y_invs[i], "allinv": allinv,
+            "a": a, "b": b, "x": x, "cx": c * x % L, "czz": c * zz % L,
             "u_sq": [ui * ui % L for ui in u],
-            "u_inv_sq": [ui * ui % L for ui in u_inv],
         })
 
-    params = pack_verification_params(jobs)
+    params = pack_verification_params_compact(jobs)
     bbB_per_proof = np.frombuffer(b"".join(bbB_rows), np.uint32).reshape(
         nb, 2, 8)
 

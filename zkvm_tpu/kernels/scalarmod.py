@@ -107,6 +107,88 @@ def accumulate(x, axis=0):
     return _reduce(jnp.sum(x, axis=axis))
 
 
+# ----------------------------------------------------- limb-MAJOR variants
+# Arrays are (20 | K, ...batch) with the LIMB axis FIRST: the batch rides
+# the (sublane, lane) tile so every vreg lane is useful.  The limbs-last
+# ops above put the 20-limb axis on the 128-lane minor dim — a 6.4x pad on
+# every elementwise op, which made the on-chip scalar synthesis stage of
+# the fused batch verify ~65 ms of the 153 ms compute at nb=4096.  The
+# high-limb fold becomes R^T @ high — an MXU matmul over the batch.
+
+
+def _carry_pass_lm(x):
+    """One parallel carry pass, limb axis FIRST: (K, ...) -> (K+1, ...)."""
+    hi = x >> LIMB_BITS
+    lo = x & LIMB_MASK
+    nd = x.ndim - 1
+    return (
+        jnp.pad(lo, [(0, 1)] + [(0, 0)] * nd)
+        + jnp.pad(hi, [(1, 0)] + [(0, 0)] * nd)
+    )
+
+
+def _fold_high_lm(cols):
+    """Fold limbs >= NLIMBS through R: (K, ...) -> (20, ...)."""
+    k = cols.shape[0]
+    if k <= NLIMBS:
+        nd = cols.ndim - 1
+        return jnp.pad(cols, [(0, NLIMBS - k)] + [(0, 0)] * nd)
+    high = cols[NLIMBS:]
+    table = jnp.asarray(_R[: k - NLIMBS])         # (k-20, 20)
+    folded = jnp.tensordot(table.T, high, axes=1).astype(jnp.int32)
+    return cols[:NLIMBS] + folded
+
+
+def _reduce_lm(cols):
+    """_reduce with the limb axis first (same 9-round bound argument)."""
+    for _ in range(9):
+        cols = _carry_pass_lm(_carry_pass_lm(cols))
+        cols = _fold_high_lm(cols)
+    return cols
+
+
+def mul_lm(a, b):
+    """(20, ...) x (20, ...) -> (20, ...), congruent mod ℓ."""
+    a, b = jnp.broadcast_arrays(a, b)
+    nd = a.ndim - 1
+    total = None
+    for j in range(NLIMBS):
+        p = a * b[j: j + 1]
+        padded = jnp.pad(p, [(j, NLIMBS - 1 - j)] + [(0, 0)] * nd)
+        total = padded if total is None else total + padded
+    return _reduce_lm(total)
+
+
+def add_lm(a, b):
+    return _reduce_lm(a + b)
+
+
+def neg_lm(a):
+    return _reduce_lm(-a)
+
+
+def accumulate_lm(x, axis):
+    """Sum carry-tight (20, ...) values over a batch axis and reduce."""
+    return _reduce_lm(jnp.sum(x, axis=axis))
+
+
+def decode_words_first(words):
+    """(8, ...) uint32 canonical LE words -> (20, ...) int32 limbs (the
+    limb-major twin of decode_words_last; same as pallas_msm's
+    decode_words_lm but shape-generic)."""
+    from ..constants import LIMB_BITS as LB, LIMB_MASK as LM
+    w = jnp.concatenate([words, jnp.zeros_like(words[:1])], axis=0)
+    limbs = []
+    for j in range(NLIMBS):
+        bit = LB * j
+        k, s = bit >> 5, bit & 31
+        lo = w[k] >> s
+        if s > 32 - LB:
+            lo = lo | (w[k + 1] << (32 - s))
+        limbs.append((lo & jnp.uint32(LM)).astype(jnp.int32))
+    return jnp.stack(limbs, axis=0)
+
+
 def decode_words_last(words):
     """(..., 8) uint32 canonical little-endian words -> (..., 20) int32
     limbs (the limbs-LAST twin of pallas_msm.decode_words_lm, for the

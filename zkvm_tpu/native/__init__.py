@@ -694,7 +694,9 @@ def fused_params_assembly(chal_blob: bytes, prf_blob: bytes,
                           n: int, m: int):
     """Whole-batch verification-params assembly (scalarvec.cpp): from the
     per-proof transcript challenges, proof scalars, and weight hashes,
-    emit the packed (nb, 13+2lg, 8)-u32 channel params and (nb, 2, 8)-u32
+    emit the packed (nb, 9+lg, 8)-u32 COMPACT channel params (wt, z,
+    y_inv, allinv, a, b, x, cx, czz, u_sq[lg]; derived products synthesize
+    on device) and (nb, 2, 8)-u32
     weighted [B_blinding, B] rows in one native call.  Returns
     (params, bbB) numpy arrays, or None when the native library is
     unavailable or an input challenge is zero (caller falls back to the
@@ -704,7 +706,7 @@ def fused_params_assembly(chal_blob: bytes, prf_blob: bytes,
     lib = get_lib()
     if lib is None:
         return None
-    c = 13 + 2 * lg
+    c = 9 + lg  # compact channel layout (scalarvec.cpp)
     params = ctypes.create_string_buffer(nb * c * 32)
     bbB = ctypes.create_string_buffer(nb * 2 * 32)
     rc = lib.fused_params_assembly(

@@ -488,7 +488,7 @@ extern "C" int fused_params_assembly(
     const uint64_t nm = n * m;
     if (nm != (1ull << lg)) return -1;
     const int CH = 5 + lg;
-    const int C = 13 + 2 * lg;
+    const int C = 9 + lg;  // compact layout (see below)
     const u64 one[4] = {1, 0, 0, 0};
     const u64 zero4[4] = {0, 0, 0, 0};
 
@@ -557,48 +557,33 @@ extern "C" int fused_params_assembly(
         sv_from_wide(wt_wide + 64 * (size_t)i, wtb);
         load4(t, wtb); to_mont(wtm, t);
 
+        // COMPACT channel layout (9 + lg columns; the derived wz/wzz/
+        // wa_neg/... products and u_inv_sq are synthesized ON DEVICE from
+        // these — kernels/batch_verify_device._synthesize_lm — cutting the
+        // params upload ~40% through the tunnel):
+        //   [0] wt  [1] z  [2] y_inv  [3] allinv  [4] a  [5] b  [6] x
+        //   [7] cx (c·x)  [8] czz (c·z²)  [9..9+lg) u_sq
         uint8_t* row = params_out + 32 * (size_t)i * C;
         u64 zz[4], v[4], o[4];
         mont_mul(zz, zm, zm);
-        // [0] wz  [1] wz_neg
-        mont_mul(v, wtm, zm);
-        mont_mul(o, v, one); store4(row, o);
-        submod(v, zero4, v); mont_mul(o, v, one); store4(row + 32, o);
-        // [2] wa_neg
-        mont_mul(v, wtm, am); submod(v, zero4, v);
-        mont_mul(o, v, one); store4(row + 64, o);
-        // [3] wzz
-        mont_mul(v, wtm, zz); mont_mul(o, v, one); store4(row + 96, o);
-        // [4] wb_neg
-        mont_mul(v, wtm, bm); submod(v, zero4, v);
-        mont_mul(o, v, one); store4(row + 128, o);
-        // [5] y_inv  [6] z
-        mont_mul(o, yinv, one); store4(row + 160, o);
-        mont_mul(o, zm, one); store4(row + 192, o);
-        // [7] allinv
+        mont_mul(o, wtm, one); store4(row, o);                 // wt
+        mont_mul(o, zm, one); store4(row + 32, o);             // z
+        mont_mul(o, yinv, one); store4(row + 64, o);           // y_inv
         u64 ai[4];
         memcpy(ai, ONE_M, 32);
         for (int j = 0; j < lg; j++) mont_mul(ai, ai, &uinv[4 * j]);
-        mont_mul(o, ai, one); store4(row + 224, o);
-        // [8] wt
-        mont_mul(o, wtm, one); store4(row + 256, o);
-        // [9] wt_cx  [10] wt_cxx
-        u64 wc[4];
-        mont_mul(wc, wtm, cm);
-        mont_mul(v, wc, xm); mont_mul(o, v, one); store4(row + 288, o);
-        mont_mul(v, v, xm); mont_mul(o, v, one); store4(row + 320, o);
-        // [11] wczz
-        mont_mul(v, wc, zz); mont_mul(o, v, one); store4(row + 352, o);
-        // u_sq / u_inv_sq
+        mont_mul(o, ai, one); store4(row + 96, o);             // allinv
+        mont_mul(o, am, one); store4(row + 128, o);            // a
+        mont_mul(o, bm, one); store4(row + 160, o);            // b
+        mont_mul(o, xm, one); store4(row + 192, o);            // x
+        mont_mul(v, cm, xm);
+        mont_mul(o, v, one); store4(row + 224, o);             // cx
+        mont_mul(v, cm, zz);
+        mont_mul(o, v, one); store4(row + 256, o);             // czz
         for (int j = 0; j < lg; j++) {
             mont_mul(v, &um[4 * j], &um[4 * j]);
-            mont_mul(o, v, one); store4(row + 32 * (12 + j), o);
-            mont_mul(v, &uinv[4 * j], &uinv[4 * j]);
-            mont_mul(o, v, one); store4(row + 32 * (12 + lg + j), o);
+            mont_mul(o, v, one); store4(row + 32 * (9 + j), o);  // u_sq
         }
-        // [12+2lg] wt_x
-        mont_mul(v, wtm, xm);
-        mont_mul(o, v, one); store4(row + 32 * (12 + 2 * lg), o);
 
         // delta(n, m, y, z): geometric sum_y via the shared (y-1) inverse
         u64 ynm[4], sumy[4];
