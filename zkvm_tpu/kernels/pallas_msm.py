@@ -710,21 +710,19 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             jnp.where(put[None], fixed.t[:, :, None, :], scanned.t),
         )
 
-        # ---- bucket-tail compaction: scatter only int32 POSITIONS (the
-        # sorted index of each bucket's segment tail), then row-gather the
-        # <= nbuckets tails per window from a row-major view of scanned
-        stride = nbuckets + 2
-        target = jnp.where(is_end, sorted_key, nbuckets + 1)    # (nwg, n)
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (nwg, n), 0)
-        flat_target = (w_iota * stride + target).reshape(-1)
-        # ONE int32 scatter carries both the position and the hit flag
-        # (scatter position+1; 0 = empty bucket)
-        p_iota = jnp.broadcast_to(
-            jnp.arange(1, n + 1, dtype=jnp.int32), (nwg, n)).reshape(-1)
-        pos1 = jnp.zeros((nwg * stride,), jnp.int32).at[flat_target].set(
-            p_iota).reshape(nwg, stride)[:, 1: nbuckets + 1]    # (nwg, nb)
-        hit = pos1 > 0
-        posmap = jnp.maximum(pos1 - 1, 0)
+        # ---- bucket-tail compaction: the keys are already SORTED per
+        # window, so each bucket's segment tail is a binary search —
+        # searchsorted(keys, b, 'right') - 1 — instead of an XLA scatter
+        # (the int32 position scatter measured ~29 ms of the 71.5 ms
+        # 2^16 MSM; 16 rounds of (nwg, nbuckets) gathers are ~free)
+        b_q = jnp.arange(1, nbuckets + 1, dtype=sorted_key.dtype)
+        pos = jax.vmap(
+            lambda k: jnp.searchsorted(k, b_q, side="right")
+        )(sorted_key).astype(jnp.int32) - 1                     # (nwg, nb)
+        key_at = jnp.take_along_axis(
+            sorted_key, jnp.maximum(pos, 0), axis=1)
+        hit = (pos >= 0) & (key_at == b_q[None])
+        posmap = jnp.maximum(pos, 0)
 
         kk, mb = posmap % K, posmap // K   # sorted p = m*K + k -> lane-run
         flat_lane = kk * M + mb            # offset within the window
