@@ -171,6 +171,33 @@ def test_combine_and_check_device_parity(wbits, nw):
     assert dev == host == True  # noqa: E712
 
 
+def test_horner_fold_kernel_parity():
+    """The fused Pallas Horner kernel (interpret mode) == the host combine
+    at small width (the real-device path of _combine_check_core)."""
+    wbits, nw = 8, 4
+    pts = _rand_points(nw, seed=404)
+    packed = np.stack([np.asarray(c) for c in pm.pack_points_lm(pts)])
+    x, y, z, t = pm.horner_fold_device(
+        jnp.asarray(packed), wbits, interpret=True)
+    from zkvm_tpu.kernels.limbs import limbs_to_int
+    got = tuple(limbs_to_int(np.asarray(c[:, 0])) for c in (x, y, z, t))
+    expect = pm.combine_window_totals(packed, wbits)
+    _assert_proj_eq(got, expect)
+
+    # identity detection: an identity-summing total set folds to x == 0
+    total = oe.IDENTITY
+    for w, p in enumerate(pts):
+        total = oe.add(total, oe.scalar_mul(1 << (w * wbits), p))
+    fix = oe.add(oe.neg(total), pts[0])
+    packed_id = np.stack([
+        np.asarray(c) for c in pm.pack_points_lm([fix] + pts[1:])])
+    x2, y2, _, _ = pm.horner_fold_device(
+        jnp.asarray(packed_id), wbits, interpret=True)
+    from zkvm_tpu.kernels import field as F
+    assert bool(np.asarray(F.is_zero(np.asarray(x2[:, 0])))) or \
+        bool(np.asarray(F.is_zero(np.asarray(y2[:, 0]))))
+
+
 @pytest.mark.heavy
 def test_msm_split_path_full_width():
     """window_totals + combine at full 256-bit scalars (the production
