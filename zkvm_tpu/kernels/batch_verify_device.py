@@ -729,13 +729,24 @@ def batch_verify_device_pipelined(batches, bp_gens, pc_gens, n: int,
     if entropies is None:
         entropies = [bytes([k % 255 + 1]) * 32 for k in range(len(batches))]
 
+    # ZKVM_PIPE_UPLOAD=1: device_put the next batch's arrays from the prep
+    # worker so the ~4 MB upload overlaps the previous batch's execution
+    # (the upload is ~100 ms of the device timeline through the tunnel).
+    early_upload = os.environ.get("ZKVM_PIPE_UPLOAD", "1") not in (
+        "0", "false")
+
     def prep(k: int):
         proofs, transcripts, vcs = batches[k]
         params, bbB_pp, dyn, m, lg = prepare_batch_inputs(
             proofs, bp_gens, pc_gens, transcripts, vcs, n,
             entropies[k], dev_decompress,
         )
-        return params, sum_bbB(bbB_pp), dyn, m, lg, len(proofs)
+        bbB = sum_bbB(bbB_pp)
+        if early_upload:
+            params = jax.device_put(jnp.asarray(params))
+            dyn = jax.device_put(jnp.asarray(dyn))
+            bbB = jax.device_put(jnp.asarray(bbB))
+        return params, bbB, dyn, m, lg, len(proofs)
 
     results: list[bool] = []
     t0 = _time.perf_counter()

@@ -907,11 +907,14 @@ def _horner_kernel(nw, wbits, tx, ty, tz, tt, d2_ref, ox, oy, oz, ot):
     pays per-op overhead on ~7k tiny (20,)-shaped ops (~20 ms on the
     fused-verify dispatch, probe 2026-08-19); in-kernel the same chain is
     straight VPU work.  Windows unroll statically (nw is small), the
-    doubling chain rolls in a fori_loop."""
-    d2 = d2_ref[:, :1]
+    doubling chain rolls in a fori_loop.  Window totals arrive
+    PRE-REPLICATED to (nw, NLIMBS, lanes) — Mosaic cannot lower the
+    in-kernel lane broadcast of a 1-wide column nor _vmem_mul's concat
+    chains on 1-lane vectors."""
+    d2 = d2_ref[:, :]
 
     def col(ref, w):
-        return ref[:, w: w + 1]
+        return ref[w, :, :]
 
     acc = (col(tx, nw - 1), col(ty, nw - 1), col(tz, nw - 1),
            col(tt, nw - 1))
@@ -920,11 +923,10 @@ def _horner_kernel(nw, wbits, tx, ty, tz, tt, d2_ref, ox, oy, oz, ot):
             0, wbits, lambda _, a: _dbl_formula(a), acc)
         acc = _add_formula(
             acc, (col(tx, w), col(ty, w), col(tz, w), col(tt, w)), d2)
-    lanes = ox.shape[1]
-    ox[:, :] = jnp.broadcast_to(acc[0], (NLIMBS, lanes))
-    oy[:, :] = jnp.broadcast_to(acc[1], (NLIMBS, lanes))
-    oz[:, :] = jnp.broadcast_to(acc[2], (NLIMBS, lanes))
-    ot[:, :] = jnp.broadcast_to(acc[3], (NLIMBS, lanes))
+    ox[:, :] = acc[0]
+    oy[:, :] = acc[1]
+    oz[:, :] = acc[2]
+    ot[:, :] = acc[3]
 
 
 def horner_fold_device(packed: jnp.ndarray, wbits: int,
@@ -933,8 +935,15 @@ def horner_fold_device(packed: jnp.ndarray, wbits: int,
     coords (NLIMBS, 1) via the fused Pallas Horner kernel."""
     nw = packed.shape[2]
     lanes = 128
-    coords = [jnp.pad(packed[i], [(0, 0), (0, lanes - nw)])
-              for i in range(4)]
+    # (nw, NLIMBS, lanes) lane-replicated per coord (~200 KB VMEM at nw=20)
+    coords = [
+        jnp.broadcast_to(
+            jnp.transpose(packed[i], (1, 0))[:, :, None],
+            (nw, NLIMBS, lanes))
+        for i in range(4)
+    ]
+    tspec = pl.BlockSpec((nw, NLIMBS, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
     spec = pl.BlockSpec((NLIMBS, lanes), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -942,7 +951,7 @@ def horner_fold_device(packed: jnp.ndarray, wbits: int,
         out_shape=tuple(jax.ShapeDtypeStruct((NLIMBS, lanes), jnp.int32)
                         for _ in range(4)),
         grid=(1,),
-        in_specs=[spec] * 5,
+        in_specs=[tspec] * 4 + [spec],
         out_specs=tuple([spec] * 4),
         interpret=interpret,
     )(*coords, jnp.asarray(_D2_TILE[:, :lanes]))
