@@ -473,10 +473,11 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
             bp_gens, pc_gens, transcript, vcs, n, raw=True)
 
     triples = list(zip(proofs, transcripts, value_commitments))
-    # default ON: the native replay releases the GIL, and host prep is now
-    # the single-batch critical path (155 ms of the 410 ms at nb=4096)
-    workers = int(_os.environ.get("ZKVM_HOST_THREADS", "0")) or min(
-        4, _os.cpu_count() or 1)
+    # default 1: a threaded default was tried and DOUBLED host prep on the
+    # bench box (155 -> 348 ms at nb=4096, ledger 2026-08-19 15:31) — the
+    # replay threads contend with the pipelined prep worker and the jax
+    # dispatch threads.  ZKVM_HOST_THREADS opts in per deployment.
+    workers = int(_os.environ.get("ZKVM_HOST_THREADS", "1"))
     if nb >= 64 and workers > 1:
         with ThreadPoolExecutor(workers) as ex:
             replays = list(ex.map(_replay, triples))
