@@ -472,23 +472,53 @@ def prepare_batch_inputs(proofs, bp_gens, pc_gens, transcripts,
         return proof._replay_challenges(
             bp_gens, pc_gens, transcript, vcs, n, raw=True)
 
-    triples = list(zip(proofs, transcripts, value_commitments))
-    # default 1: a threaded default was tried and DOUBLED host prep on the
-    # bench box (155 -> 348 ms at nb=4096, ledger 2026-08-19 15:31) — the
-    # replay threads contend with the pipelined prep worker and the jax
-    # dispatch threads.  ZKVM_HOST_THREADS opts in per deployment.
-    workers = int(_os.environ.get("ZKVM_HOST_THREADS", "1"))
-    if nb >= 64 and workers > 1:
-        with ThreadPoolExecutor(workers) as ex:
-            replays = list(ex.map(_replay, triples))
-    else:
-        replays = [_replay(t) for t in triples]
+    # proof wire bytes, built ONCE (weights hash them; the batch replay
+    # slices its header/LR views out of them)
+    wires = [p.to_bytes() for p in proofs]
+
+    replays = None
+    if not _os.environ.get("ZKVM_TPU_PY_REPLAY"):
+        # whole-batch native replay: one crossing, proofs parallel across
+        # the worker pool (the per-proof wrapper + ctypes glue was ~90 ms
+        # of the 155 ms host prep at nb=4096).  Light validation mirrors
+        # _replay_challenges' checks; the wire layout fixes byte lengths.
+        from ..constants import LABEL_IPP, LABEL_RANGEPROOF
+        from ..native import rangeproof_replay_batch
+        from ..proofs.errors import FormatError
+        lg_ok = n * m == 1 << lg
+        wire_len = 224 + 64 * lg + 64
+        if (n in (8, 16, 32, 64) and m and m & (m - 1) == 0 and lg_ok
+                and bp_gens.gens_capacity >= n
+                and bp_gens.party_capacity >= m
+                and all(len(w) == wire_len for w in wires)):
+            v_blob = b"".join(
+                vc for vcs_i in value_commitments for vc in vcs_i)
+            if len(v_blob) != nb * m * 32:
+                raise FormatError("bad value commitment length")
+            raws = rangeproof_replay_batch(
+                [t.strobe for t in transcripts], LABEL_RANGEPROOF,
+                LABEL_IPP, n, m, v_blob, b"".join(wires), wire_len, lg)
+            if raws is not None:
+                replays = [{"raw": r} for r in raws]
+        elif not lg_ok or n not in (8, 16, 32, 64) or not m or m & (m - 1):
+            raise FormatError("invalid bitsize or aggregation size")
+    if replays is None:
+        triples = list(zip(proofs, transcripts, value_commitments))
+        # default 1: a threaded default was tried and DOUBLED host prep on
+        # the bench box (155 -> 348 ms at nb=4096, ledger 2026-08-19
+        # 15:31) — the replay threads contend with the pipelined prep
+        # worker and the jax dispatch threads.  ZKVM_HOST_THREADS opts in.
+        workers = int(_os.environ.get("ZKVM_HOST_THREADS", "1"))
+        if nb >= 64 and workers > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                replays = list(ex.map(_replay, triples))
+        else:
+            replays = [_replay(t) for t in triples]
 
     # ---- per-proof random weights (the batching randomness)
     wt_digests = [
-        hashlib.sha3_512(entropy + i.to_bytes(8, "little")
-                         + proof.to_bytes()).digest()
-        for i, proof in enumerate(proofs)
+        hashlib.sha3_512(entropy + i.to_bytes(8, "little") + w).digest()
+        for i, w in enumerate(wires)
     ]
 
     # ---- channel params: ONE native call for the whole batch (scalarvec

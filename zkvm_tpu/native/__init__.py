@@ -130,6 +130,15 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_char_p,
     ]
     lib.rangeproof_replay.restype = ctypes.c_int
+    lib.rangeproof_replay_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.sv_from_wide.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.rangeproof_scalar_assembly.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
@@ -653,6 +662,43 @@ def rangeproof_replay(strobe, rp_label: bytes, ipp_label: bytes, n: int,
     vals = [int.from_bytes(raw[32 * i: 32 * (i + 1)], "little")
             for i in range(5 + lg_n)]
     return vals[0], vals[1], vals[2], vals[3], vals[4], vals[5:]
+
+
+def rangeproof_replay_batch(strobes, rp_label: bytes, ipp_label: bytes,
+                            n: int, m: int, v_blob: bytes, wires: bytes,
+                            wire_len: int, lg_n: int):
+    """Whole-batch verification replay (strobe.cpp): nb transcripts advance
+    through the challenge sequence in ONE native call, proofs parallel
+    across the worker pool.  wires = concatenated proof wire bytes (the
+    replay header/LR are slices of the wire).  Returns a list of
+    (5+lg)*32-byte raw challenge blobs, or None when unavailable; raises
+    ProofError naming the first proof with an identity point.  Each
+    strobe's state advances exactly like the per-proof call."""
+    lib = get_lib()
+    if lib is None or not strobes or not hasattr(strobes[0], "_buf"):
+        return None
+    nb = len(strobes)
+    sz = lib.strobe_sizeof()
+    states = ctypes.create_string_buffer(nb * sz)
+    for i, s in enumerate(strobes):
+        ctypes.memmove(ctypes.byref(states, i * sz), s._buf, sz)
+    blob = (5 + lg_n) * 32
+    out = ctypes.create_string_buffer(nb * blob)
+    rcs = (ctypes.c_int32 * nb)()
+    lib.rangeproof_replay_batch(
+        states, sz, rp_label, len(rp_label), ipp_label, len(ipp_label),
+        n, m, v_blob, wires, wire_len, lg_n, nb, out, rcs,
+    )
+    for i in range(nb):
+        if rcs[i] != 0:
+            from ..proofs.errors import ProofError
+            raise ProofError(
+                f"point validation failed: identity (proof {i})")
+    # copy the advanced states back for per-proof-call parity
+    for i, s in enumerate(strobes):
+        ctypes.memmove(s._buf, ctypes.byref(states, i * sz), sz)
+    raw = out.raw
+    return [raw[i * blob: (i + 1) * blob] for i in range(nb)]
 
 
 def rangeproof_scalar_assembly(u_challenges, n: int, m: int, y: int,

@@ -11,6 +11,8 @@
 #include <cstdint>
 #include <cstring>
 
+#include "field51.h"  // f51::parallel_ranges (shared worker pool)
+
 static const uint64_t RC[24] = {
     0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
     0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
@@ -280,6 +282,38 @@ int rangeproof_replay(Strobe* s,
         challenge_scalar_op(s, "u", 1, out + 32 * (5 + r));
     }
     return 0;
+}
+
+// Whole-batch verification replay: nb independent transcripts advanced
+// through rangeproof_replay in ONE crossing, proofs parallel across the
+// worker pool (each replay is pure per-strobe work).  The per-proof
+// Python wrapper + ctypes glue around the single call was ~90 ms of the
+// 155 ms host prep at nb=4096 (profile 2026-08-19).
+//   states: nb * strobe_size bytes, mutated in place
+//   V:      nb * m * 32 value commitments
+//   wire:   nb * wire_len proof wire bytes
+//           (layout A S T1 T2 t_x t_xb e_b | (L R)*lg | a b — the replay
+//            header is wire[0:224], LR is wire[224:224+64*lg])
+//   out:    nb * (5+lg)*32 canonical challenge blobs
+//   rcs:    nb int32 per-proof return codes (see rangeproof_replay)
+void rangeproof_replay_batch(uint8_t* states, int strobe_size,
+                             const uint8_t* rp_label, size_t rp_label_len,
+                             const uint8_t* ipp_label, size_t ipp_label_len,
+                             uint64_t n, uint64_t m,
+                             const uint8_t* V, const uint8_t* wire,
+                             size_t wire_len, int lg_n, int nb,
+                             uint8_t* out, int32_t* rcs) {
+    const size_t blob = (size_t)(5 + lg_n) * 32;
+    f51::parallel_ranges(nb, 8, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++) {
+            Strobe* s = (Strobe*)(states + (size_t)i * strobe_size);
+            const uint8_t* w = wire + (size_t)i * wire_len;
+            rcs[i] = rangeproof_replay(
+                s, rp_label, rp_label_len, ipp_label, ipp_label_len, n, m,
+                V + (size_t)i * m * 32, w, w + 224, lg_n,
+                out + (size_t)i * blob);
+        }
+    });
 }
 
 }  // extern "C"
