@@ -341,6 +341,7 @@ def _bucket_totals(points: PointBatch, digits: jnp.ndarray, wbits: int,
 import os as _os
 
 SEQ_LANES = int(_os.environ.get("ZKVM_SEQ_LANES", "512"))   # M lanes/window
+_COMPACT = _os.environ.get("ZKVM_COMPACT", "sort2")  # bucket-tail strategy
 SEQ_BLOCK = int(_os.environ.get("ZKVM_SEQ_BLOCK", "8"))     # K-pos per step
 # 512 lanes/step: the scan's sequential adds are latency-bound, so wider
 # tiles are ~free throughput (2^16 scan 15.3 -> 6.9 ms, probe 2026-08-19)
@@ -710,24 +711,52 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             jnp.where(put[None], fixed.t[:, :, None, :], scanned.t),
         )
 
-        # ---- bucket-tail compaction: scatter only int32 POSITIONS (the
-        # sorted index of each bucket's segment tail), then row-gather the
-        # <= nbuckets tails per window from a row-major view of scanned.
-        # (A searchsorted-based tail lookup was tried and measured WORSE
-        # on-chip: 81.7 vs 71.5 ms at 2^16 — XLA's binary-search lowering
-        # loses to the one int32 scatter.)
-        stride = nbuckets + 2
-        target = jnp.where(is_end, sorted_key, nbuckets + 1)    # (nwg, n)
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (nwg, n), 0)
-        flat_target = (w_iota * stride + target).reshape(-1)
-        # ONE int32 scatter carries both the position and the hit flag
-        # (scatter position+1; 0 = empty bucket)
-        p_iota = jnp.broadcast_to(
-            jnp.arange(1, n + 1, dtype=jnp.int32), (nwg, n)).reshape(-1)
-        pos1 = jnp.zeros((nwg * stride,), jnp.int32).at[flat_target].set(
-            p_iota).reshape(nwg, stride)[:, 1: nbuckets + 1]    # (nwg, nb)
-        hit = pos1 > 0
-        posmap = jnp.maximum(pos1 - 1, 0)
+        # ---- bucket-tail compaction.  Two interchangeable strategies
+        # (ZKVM_COMPACT env; A/B'd on-chip):
+        #   "sort2" (default when the bits fit): a SECOND packed sort
+        #     brings every segment tail to the front in key order —
+        #     (is_end ? 0 : 1) << 30 | key << shift | sorted_pos — then a
+        #     tiny searchsorted over the <= nbuckets+1 compacted tails
+        #     aligns them to bucket slots.  Sorts measure ~8 ms real at
+        #     2^16 vs ~29 ms for the position scatter.
+        #   "scatter": one int32 position scatter (position+1; 0 = empty).
+        # (A full-width searchsorted over the n-sized sorted keys was also
+        # tried: WORSE, 81.7 vs 71.5 ms at 2^16.)
+        shift2 = max(n - 1, 1).bit_length()
+        use_sort2 = (_COMPACT != "scatter"
+                     and 1 + wbits + shift2 <= 31)
+        if use_sort2:
+            p_iota2 = jax.lax.broadcasted_iota(jnp.int32, (nwg, n), 1)
+            packed2 = (jnp.where(is_end, 0, 1 << 30)
+                       | (sorted_key << shift2) | p_iota2)
+            nt = nbuckets + 1                       # + the key-0 segment
+            sp2 = jax.lax.sort(packed2, dimension=1)[:, :nt]
+            tail_key = (sp2 >> shift2) & ((1 << wbits) - 1)
+            # non-end entries that leak into the slice get an impossible
+            # key ABOVE every bucket (keeps rows ascending for the search)
+            tail_key = jnp.where(sp2 < (1 << 30), tail_key, 1 << wbits)
+            tail_pos = sp2 & ((1 << shift2) - 1)
+            b_q = jnp.arange(1, nbuckets + 1, dtype=jnp.int32)
+            loc = jax.vmap(
+                lambda k: jnp.searchsorted(k, b_q)
+            )(tail_key).astype(jnp.int32)
+            loc = jnp.minimum(loc, nt - 1)
+            key_at = jnp.take_along_axis(tail_key, loc, axis=1)
+            hit = key_at == b_q[None]
+            posmap = jnp.take_along_axis(tail_pos, loc, axis=1)
+            posmap = jnp.where(hit, posmap, 0)
+        else:
+            stride = nbuckets + 2
+            target = jnp.where(is_end, sorted_key, nbuckets + 1)
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (nwg, n), 0)
+            flat_target = (w_iota * stride + target).reshape(-1)
+            p_iota = jnp.broadcast_to(
+                jnp.arange(1, n + 1, dtype=jnp.int32), (nwg, n)).reshape(-1)
+            pos1 = jnp.zeros((nwg * stride,), jnp.int32).at[
+                flat_target].set(p_iota).reshape(
+                    nwg, stride)[:, 1: nbuckets + 1]
+            hit = pos1 > 0
+            posmap = jnp.maximum(pos1 - 1, 0)
 
         kk, mb = posmap % K, posmap // K   # sorted p = m*K + k -> lane-run
         flat_lane = kk * M + mb            # offset within the window
