@@ -280,14 +280,17 @@ _PACK_CACHE_MAX = 8
 def _pack_points_cached(points) -> bytes:
     if len(points) < 1024:
         return _pack_points(points)
-    key = (id(points[0]), id(points[1]), id(points[-1]), len(points))
+    # key on EVERY element id (an id tuple is ~1000x cheaper than the
+    # pack it avoids); endpoint-only keys could alias two vectors that
+    # share endpoints but differ in the interior
+    key = tuple(map(id, points))
     hit = _PACK_CACHE.get(key)
     if hit is not None:
         return hit[0]
     blob = _pack_points(points)
     if len(_PACK_CACHE) >= _PACK_CACHE_MAX:
         _PACK_CACHE.popitem()
-    _PACK_CACHE[key] = (blob, (points[0], points[1], points[-1]))
+    _PACK_CACHE[key] = (blob, tuple(points))
     return blob
 
 
@@ -365,22 +368,35 @@ def ed_fold(s1, s2, P, Q, ct: bool = False):
 # IDENTITY of the generator point objects — BulletproofGens returns slices
 # of its cached G_vec/H_vec lists, so the endpoints pin the exact vector.
 # The cache holds strong refs to the keyed points so ids can't be reused.
+# Thread-safe: MPC ranks prove on Python threads, so the dict is guarded
+# by a lock and evicted ctxs are parked (never freed) — a concurrent
+# prover may still be inside lib.ipp_create with the evicted tables; a
+# bounded leak of <= _IPP_CTX_MAX table sets beats a use-after-free.
 _IPP_CTX: "dict[tuple, tuple]" = {}
 _IPP_CTX_MAX = 8
+_IPP_CTX_LOCK = threading.Lock()
+_IPP_CTX_PARKED: list = []
 
 
 def _ipp_gens_ctx(lib, G_eps, H_eps, n: int):
     key = (id(G_eps[0]), id(G_eps[-1]), id(H_eps[0]), id(H_eps[-1]), n)
-    hit = _IPP_CTX.get(key)
-    if hit is not None:
-        return hit[0]
+    with _IPP_CTX_LOCK:
+        hit = _IPP_CTX.get(key)
+        if hit is not None:
+            return hit[0]
     # packing the points (~0.6 s at n = 2^16) happens only on a miss: the
-    # native ipp_create never reads G/H when handed a prebuilt ctx
+    # native ipp_create never reads G/H when handed a prebuilt ctx.
+    # Build outside the lock (slow); a racing duplicate build is parked.
     ctx = lib.ed_ipp_ctx_new(_pack_points(G_eps), _pack_points(H_eps), n)
-    if len(_IPP_CTX) >= _IPP_CTX_MAX:
-        _, (old, _refs) = _IPP_CTX.popitem()
-        lib.ed_ipp_ctx_free(old)
-    _IPP_CTX[key] = (ctx, (G_eps[0], G_eps[-1], H_eps[0], H_eps[-1]))
+    with _IPP_CTX_LOCK:
+        hit = _IPP_CTX.get(key)
+        if hit is not None:
+            _IPP_CTX_PARKED.append(ctx)
+            return hit[0]
+        if len(_IPP_CTX) >= _IPP_CTX_MAX:
+            _, (old, _refs) = _IPP_CTX.popitem()
+            _IPP_CTX_PARKED.append(old)
+        _IPP_CTX[key] = (ctx, (G_eps[0], G_eps[-1], H_eps[0], H_eps[-1]))
     return ctx
 
 

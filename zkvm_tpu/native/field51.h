@@ -226,12 +226,16 @@ class WorkerPool {
     // body(t) for t in [0, k); caller runs t=0, workers run 1..k-1.
     // Safe for concurrent callers (multi-host MPC ranks are Python
     // threads): calls serialize on run_mutex_, each using the full pool.
+    // Nested calls (a pooled body that transitively reaches another
+    // parallel_ranges) would deadlock on run_mutex_; the thread-local
+    // in_pool flag makes them run inline instead.
     void run(int k, const std::function<void(int)>& body) {
-        if (k <= 1) {
+        if (k <= 1 || in_pool_flag()) {
             body(0);
             return;
         }
         std::lock_guard<std::mutex> run_lk(run_mutex_);
+        in_pool_flag() = true;
         {
             std::unique_lock<std::mutex> lk(m_);
             body_ = &body;
@@ -248,6 +252,7 @@ class WorkerPool {
         std::unique_lock<std::mutex> lk(m_);
         done_cv_.wait(lk, [&] { return pending_ == 0; });
         body_ = nullptr;
+        in_pool_flag() = false;
     }
 
     int max_threads() const { return (int)workers_.size() + 1; }
@@ -269,7 +274,15 @@ class WorkerPool {
         cv_.notify_all();
         for (auto& t : workers_) t.join();
     }
+    // one flag per thread: true while this thread is executing pool work
+    // (always true for workers), making nested run() calls execute inline
+    static bool& in_pool_flag() {
+        static thread_local bool f = false;
+        return f;
+    }
+
     void loop(int w) {
+        in_pool_flag() = true;
         uint64_t seen = 0;
         for (;;) {
             const std::function<void(int)>* body = nullptr;

@@ -13,6 +13,7 @@ shard over the mesh `dp` axis, each MSM over `tp`.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from ..constants import L
 from ..oracle.ristretto import RistrettoPoint
@@ -60,7 +61,7 @@ def verify_tx_batch(
     bp_gens: BulletproofGens,
     mesh=None,
     wbits: int = 8,
-    entropy: bytes = b"\x07" * 32,
+    entropy: bytes | None = None,
 ) -> list[VerifiedTx]:
     """Verify a batch of transactions with all group math on the mesh.
 
@@ -71,6 +72,8 @@ def verify_tx_batch(
     """
     if not txs:
         return []
+    if entropy is None:
+        entropy = os.urandom(32)
     verified: list[VerifiedTx] = []
     jobs = []
     all_ops: list[PointOp] = []
@@ -117,14 +120,17 @@ def _get_pool(procs: int):
     return _PRE_POOL
 
 
-def _weight(entropy: bytes, txid: bytes, tag: bytes, j: int = 0) -> int:
-    """Per-check RLC weight.  Bound to the verifier's entropy and the tx
-    CONTENT (txid), so checks cannot cancel across the batch — same
-    argument as upstream PointOp::verify_batch's thread_rng weights, with
-    the randomness made replayable for the process-pool workers."""
+def _weight(entropy: bytes, wid: bytes, tag: bytes, j: int = 0) -> int:
+    """Per-check RLC weight.  Bound to the verifier's entropy and the FULL
+    tx wire bytes (wid = sha3-256 of tx.to_bytes(), which covers the R1CS
+    proof and signature bytes — txid alone does not commit to them), so an
+    attacker cannot fix the weights and then solve for proof points whose
+    residuals cancel across the batch — same argument as upstream
+    PointOp::verify_batch's thread_rng weights, with the randomness made
+    replayable for the process-pool workers."""
     return int.from_bytes(
         hashlib.sha3_512(
-            entropy + txid + tag + j.to_bytes(8, "little")).digest(),
+            entropy + wid + tag + j.to_bytes(8, "little")).digest(),
         "little") % L
 
 
@@ -134,17 +140,23 @@ def _chunk_precompute_star(args):
 
 def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
     """Worker: replay + weight + accumulate a chunk of txs.  Returns
-    (verified_txs, static_acc (2+2*maxpad ints, [B_blinding, B]+G+H
-    convention), dyn_scalars, dyn_point_eps).  Accumulating the shared
-    generator columns HERE keeps the pickled result ~50x smaller than
-    shipping per-tx jobs (and the RLC work parallel)."""
+    (verified_txs, head_acc ([B_blinding, B] 2 ints), g_acc, h_acc,
+    dyn_scalars, dyn_point_eps).  The G and H generator-column sums are
+    kept as SEPARATE growable segments: per-tx static layouts are
+    [Bb, B] + G(padded_n) + H(padded_n) with padded_n varying per circuit
+    size, so positional accumulation into one flat vector would pair a
+    small tx's H scalars with the merged layout's G points.  Accumulating
+    the shared generator columns HERE keeps the pickled result ~50x
+    smaller than shipping per-tx jobs (and the RLC work parallel)."""
     from ..vm.verifier import precompute_tx_split
 
     bp = _WORKER_GENS.get(caps)
     if bp is None:
         bp = _WORKER_GENS[caps] = BulletproofGens(caps[0], caps[1])
 
-    static_acc: list[int] = [0, 0]
+    head_acc: list[int] = [0, 0]
+    g_acc: list[int] = []
+    h_acc: list[int] = []
     dyn_s: list[int] = []
     dyn_p: list[tuple] = []
     out = []
@@ -152,30 +164,39 @@ def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
         vtx, ops, (ds, dp, ss, padded_n) = precompute_tx_split(
             Tx.from_bytes(tb), bp)
         out.append(vtx)
-        r = _weight(entropy, vtx.id, b"r1cs")
-        if len(static_acc) < len(ss):
-            static_acc += [0] * (len(ss) - len(static_acc))
-        for k, s in enumerate(ss):
+        wid = hashlib.sha3_256(tb).digest()
+        r = _weight(entropy, wid, b"r1cs")
+        head_acc[0] += r * ss[0]
+        head_acc[1] += r * ss[1]
+        if len(g_acc) < padded_n:
+            g_acc += [0] * (padded_n - len(g_acc))
+            h_acc += [0] * (padded_n - len(h_acc))
+        for k in range(padded_n):
+            s = ss[2 + k]
             if s:
-                static_acc[k] += r * s          # deferred mod
+                g_acc[k] += r * s               # deferred mod
+            s = ss[2 + padded_n + k]
+            if s:
+                h_acc[k] += r * s
         dyn_s.extend(r * s % L for s in ds)
         dyn_p.extend(p.ep for p in dp)
         for j, op in enumerate(ops):
-            ro = _weight(entropy, vtx.id, b"op", j)
+            ro = _weight(entropy, wid, b"op", j)
             if op.primary is not None:
-                static_acc[1] += ro * op.primary
+                head_acc[1] += ro * op.primary
             if op.secondary is not None:
-                static_acc[0] += ro * op.secondary
+                head_acc[0] += ro * op.secondary
             for w, pbytes in op.arbitrary:
                 dyn_s.append(ro * (w % L) % L)
                 dyn_p.append(RistrettoPoint.decompress(pbytes).ep)
-    return out, [v % L for v in static_acc], dyn_s, dyn_p
+    return (out, [v % L for v in head_acc], [v % L for v in g_acc],
+            [v % L for v in h_acc], dyn_s, dyn_p)
 
 
 def fused_verify_tx_batch(
     txs: list[Tx],
     bp_gens: BulletproofGens,
-    entropy: bytes = b"\x07" * 32,
+    entropy: bytes | None = None,
     attribute_failures: bool = True,
 ) -> list[VerifiedTx]:
     """Single-chip fused tx batch verification (VERDICT r4 task 5): every
@@ -193,12 +214,12 @@ def fused_verify_tx_batch(
     back to per-job checks to name the failing tx (slow path, only on
     failure — upstream batch verification has the same rejection shape).
     """
-    import os
-
     from ..proofs.engine import get_engine
 
     if not txs:
         return []
+    if entropy is None:
+        entropy = os.urandom(32)
     caps = (bp_gens.gens_capacity, bp_gens.party_capacity)
     # the VM replay + LC algebra is pure Python (holds the GIL), so
     # parallel precompute needs PROCESSES, not threads (a persistent
@@ -219,23 +240,33 @@ def fused_verify_tx_batch(
         order = [list(range(len(txs)))]
 
     verified: list[VerifiedTx] = [None] * len(txs)  # type: ignore
-    static_acc: list[int] = [0, 0]
+    head_acc: list[int] = [0, 0]
+    g_acc: list[int] = []
+    h_acc: list[int] = []
     dyn_s: list[int] = []
     dyn_eps: list[tuple] = []
-    for (vtxs, sacc, ds, dps), idxs in zip(results, order, strict=False):
+    for (vtxs, hd, ga, ha, ds, dps), idxs in zip(
+            results, order, strict=False):
         for vtx, i in zip(vtxs, idxs, strict=True):
             verified[i] = vtx
-        if len(static_acc) < len(sacc):
-            static_acc += [0] * (len(sacc) - len(static_acc))
-        for k, v in enumerate(sacc):
+        head_acc[0] += hd[0]
+        head_acc[1] += hd[1]
+        if len(g_acc) < len(ga):
+            g_acc += [0] * (len(ga) - len(g_acc))
+            h_acc += [0] * (len(ha) - len(h_acc))
+        for k, v in enumerate(ga):
             if v:
-                static_acc[k] += v
+                g_acc[k] += v
+        for k, v in enumerate(ha):
+            if v:
+                h_acc[k] += v
         dyn_s.extend(ds)
         dyn_eps.extend(dps)
 
     pc = PedersenGens()
-    maxpad = (len(static_acc) - 2) // 2
+    maxpad = len(g_acc)
     gens = bp_gens.share(0)
+    static_acc = head_acc + g_acc + h_acc
     static_pts = [pc.B_blinding, pc.B] + gens.G(maxpad) + gens.H(maxpad)
     scalars, points = [], []
     for s, p in zip(static_acc, static_pts, strict=True):
