@@ -93,3 +93,52 @@ def test_verification_scalars_structure():
     # wrong n rejected
     with pytest.raises(ProofError):
         proof.verification_scalars(n * 2, ProofTranscript(b"t"))
+
+
+def _create_with(monkeypatch, py: bool, n: int, seed: int):
+    """Build one IPP proof with the fused-native or pure-Python rounds and
+    return (proof bytes, post-create transcript challenge)."""
+    r = random.Random(seed)
+    bp_gens = BulletproofGens(max(n, 1))
+    G = bp_gens.share(0).G(n)
+    H = bp_gens.share(0).H(n)
+    Q = PedersenGens().B_blinding
+    a = [r.randrange(L) for _ in range(n)]
+    b = [r.randrange(L) for _ in range(n)]
+    y_inv = r.randrange(1, L)
+    G_factors = [1] * n
+    H_factors = powers(y_inv, n)
+    if py:
+        monkeypatch.setenv("ZKVM_TPU_PY_IPP", "1")
+    else:
+        monkeypatch.delenv("ZKVM_TPU_PY_IPP", raising=False)
+    t = ProofTranscript(b"ipp-parity")
+    proof = InnerProductProof.create(t, Q, G_factors, H_factors, G, H, a, b)
+    return proof.to_bytes(), t.challenge_scalar(b"post")
+
+
+@pytest.mark.parametrize("n", [1, 64, 1024])
+def test_ipp_fused_native_matches_python_rounds(monkeypatch, n):
+    """The fused native prover (native/ipp_create.cpp) must produce
+    BYTE-IDENTICAL proofs to the pure-Python rounds (the declared ground
+    truth, forced via ZKVM_TPU_PY_IPP=1) AND leave the shared transcript in
+    the same state (checked via a post-create challenge).  VERDICT r4
+    task 7a; upstream invariant: one InnerProductProof::create,
+    inner_product_proof.rs."""
+    from zkvm_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable; only the Python path runs")
+    py_bytes, py_chal = _create_with(monkeypatch, True, n, seed=n + 7)
+    nat_bytes, nat_chal = _create_with(monkeypatch, False, n, seed=n + 7)
+    assert py_bytes == nat_bytes
+    assert py_chal == nat_chal
+
+
+def test_ipp_python_prover_round_trip(monkeypatch):
+    """Keep the pure-Python prover rounds alive in every CI run (they are
+    the parity ground truth): force ZKVM_TPU_PY_IPP=1 through a full
+    round-trip including the soundness-negative checks (VERDICT r4
+    task 7b)."""
+    monkeypatch.setenv("ZKVM_TPU_PY_IPP", "1")
+    _ipp_round_trip(16)
