@@ -205,7 +205,7 @@ def _make_proofs(nb: int, n: int, m: int, seed: int):
     return proofs, transcripts, vcs
 
 
-@pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2)])
+@pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2), (64, 4, 2)])
 @pytest.mark.heavy
 def test_batch_verify_device_end_to_end(n, m, nb):
     from zkvm_tpu.kernels.batch_verify_device import batch_verify_device
@@ -304,7 +304,7 @@ def test_jax_engine_routes_batch_verify():
         set_engine(prev)
 
 
-@pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2)])
+@pytest.mark.parametrize("n,m,nb", [(16, 1, 3), (8, 2, 2), (64, 4, 2)])
 def test_fused_params_native_vs_python(n, m, nb, monkeypatch):
     """The native whole-batch params assembly (scalarvec.cpp
     fused_params_assembly) must agree bit-for-bit with the Python chain it
@@ -372,3 +372,36 @@ def test_batch_verify_pipelined_matches_sequential():
     assert got == [True, False, True]
     for ps, ts, v in [fresh(proofs)]:
         assert batch_verify_device(ps, BP_GENS, PC_GENS, ts, v, 8)
+
+
+@pytest.mark.parametrize("n,m", [(64, 4), (32, 2)])
+@pytest.mark.heavy
+def test_fused_aggregated_matches_host_engine(n, m):
+    """Aggregated proofs (m > 1) through the FUSED path must agree with the
+    host-assembled combined MSM (batch_verification_job + oracle engine) on
+    both accept and reject (VERDICT r4 task 9; upstream verify_multiple
+    m-aggregation, range_proof/mod.rs)."""
+    from zkvm_tpu.kernels.batch_verify_device import batch_verify_device
+    from zkvm_tpu.proofs.engine import get_engine
+    from zkvm_tpu.proofs.rangeproof import batch_verification_job
+
+    proofs, transcripts, vcs = _make_proofs(2, n, m, seed=31 * n + m)
+
+    def host_ok(ps, vs):
+        scalars, points = batch_verification_job(
+            ps, BP_GENS, PC_GENS,
+            [ProofTranscript(b"fused-batch") for _ in ps], vs, n,
+        )
+        return get_engine().msm_is_identity(scalars, points)
+
+    assert batch_verify_device(
+        proofs, BP_GENS, PC_GENS, transcripts, vcs, n)
+    assert host_ok(proofs, vcs)
+
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.t_x = (bad.t_x + 1) % L
+    bad_batch = [bad, proofs[1]]
+    assert not batch_verify_device(
+        bad_batch, BP_GENS, PC_GENS,
+        [ProofTranscript(b"fused-batch") for _ in proofs], vcs, n)
+    assert not host_ok(bad_batch, vcs)

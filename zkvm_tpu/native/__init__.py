@@ -140,6 +140,8 @@ def _build_and_load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
     ]
     lib.sv_from_wide.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.scl_from_wide.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
     lib.rangeproof_scalar_assembly.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
@@ -306,13 +308,19 @@ def _unpack_point(blob: bytes, i: int = 0):
 
 def ed_msm(scalars, points, ct: bool = False):
     """sum s_i * P_i over oracle extended points via native Straus, or None
-    when the library is unavailable.  ct=True for secret scalars."""
+    when the library is unavailable.  ct=True for secret scalars.
+    `scalars` may be a ScalarVec (used as its packed buffer, zero-copy)."""
     lib = get_lib()
     if lib is None:
         return None
     from ..constants import L
     n = len(points)
-    sbuf = b"".join((int(s) % L).to_bytes(32, "little") for s in scalars)
+    if isinstance(scalars, ScalarVec):
+        assert len(scalars) == n
+        sbuf = scalars.buf
+    else:
+        sbuf = b"".join(
+            (int(s) % L).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(128)
     lib.ed_msm(sbuf, _pack_points_cached(points), n, int(ct), out)
     return _unpack_point(out.raw)
@@ -417,12 +425,17 @@ def ipp_create_fused(strobe, ipp_label: bytes, Q_ep, G_factors, H_factors,
     if n <= 0 or n & (n - 1):
         return None
     lg = n.bit_length() - 1
-    gf = b"".join((int(s) % L).to_bytes(32, "little") for s in G_factors)
-    hf = b"".join((int(s) % L).to_bytes(32, "little") for s in H_factors)
-    abuf = ctypes.create_string_buffer(
-        b"".join((int(s) % L).to_bytes(32, "little") for s in a), 32 * n)
-    bbuf = ctypes.create_string_buffer(
-        b"".join((int(s) % L).to_bytes(32, "little") for s in b), 32 * n)
+
+    def _pack_scalars(xs):
+        # ScalarVec holds exactly the packed canonical layout — zero-copy
+        if isinstance(xs, ScalarVec):
+            return xs.buf
+        return b"".join((int(s) % L).to_bytes(32, "little") for s in xs)
+
+    gf = _pack_scalars(G_factors)
+    hf = _pack_scalars(H_factors)
+    abuf = ctypes.create_string_buffer(_pack_scalars(a), 32 * n)
+    bbuf = ctypes.create_string_buffer(_pack_scalars(b), 32 * n)
     ctx = _ipp_gens_ctx(lib, G_eps, H_eps, n)
     out_lr = ctypes.create_string_buffer(max(64 * lg, 1))
     # G/H buffers are never read when a prebuilt ctx is passed — skip the
@@ -646,6 +659,29 @@ class ScalarVec:
         out = ctypes.create_string_buffer(32 * n)
         lib.scl_powers(x.to_bytes(32, "little"), n, out)
         return ScalarVec(out.raw, n)
+
+    @staticmethod
+    def from_wide_bytes(blob: bytes, n: int) -> "ScalarVec":
+        """n 64-byte uniform blocks -> n canonical scalars (batched
+        from_bytes_mod_order_wide)."""
+        assert len(blob) == 64 * n
+        lib = get_lib()
+        if lib is None:
+            from ..oracle.scalar import from_bytes_mod_order_wide
+            return ScalarVec.from_ints([
+                from_bytes_mod_order_wide(blob[64 * i: 64 * (i + 1)])
+                for i in range(n)
+            ])
+        out = ctypes.create_string_buffer(32 * n)
+        lib.scl_from_wide(blob, n, out)
+        return ScalarVec(out.raw, n)
+
+    @staticmethod
+    def random(n: int) -> "ScalarVec":
+        """n uniform scalars from one os.urandom draw (prover blindings;
+        NOT for TranscriptRng-derived randomness, which must stay on the
+        transcript's PRF stream)."""
+        return ScalarVec.from_wide_bytes(os.urandom(64 * n), n)
 
 
 def rangeproof_replay(strobe, rp_label: bytes, ipp_label: bytes, n: int,

@@ -15,8 +15,7 @@
 #include <cstdint>
 #include <cstring>
 
-typedef unsigned __int128 u128;
-typedef uint64_t u64;
+#include "field51.h"  // WorkerPool / parallel_ranges (also typedefs u64/u128)
 
 namespace {
 
@@ -138,6 +137,16 @@ void sv_from_wide(const uint8_t* in64, uint8_t* out32) {
     mont_mul(b, hi, RR_);   // hi * 2^256 mod l
     addmod(a, a, b);
     store4(out32, a);
+}
+
+
+// batched sv_from_wide: n 64-byte uniform blocks -> n canonical scalars
+// (one call covers a whole blinding vector; pooled for large n)
+void scl_from_wide(const uint8_t* in64, int n, uint8_t* out32) {
+    f51::parallel_ranges(n, 4096, [&](int lo, int hi) {
+        for (int i = lo; i < hi; i++)
+            sv_from_wide(in64 + 64 * (size_t)i, out32 + 32 * (size_t)i);
+    });
 }
 
 

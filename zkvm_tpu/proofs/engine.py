@@ -22,14 +22,15 @@ class Engine:
     name = "oracle"
 
     def msm(self, scalars, points) -> ristretto.RistrettoPoint:
-        """Variable-time multiscalar multiplication: sum_i scalars[i] * points[i]."""
-        if hasattr(scalars, "to_ints"):  # packed ScalarVec fast path input
-            scalars = scalars.to_ints()
+        """Variable-time multiscalar multiplication: sum_i scalars[i] * points[i].
+        `scalars` may be a packed ScalarVec (zero-copy into the native call)."""
         from ..native import ed_msm
         eps = [p.ep for p in points]
         native = ed_msm(scalars, eps) if eps else None
         if native is not None:
             return ristretto.RistrettoPoint(native)
+        if hasattr(scalars, "to_ints"):
+            scalars = scalars.to_ints()
         return ristretto.multiscalar_mul(scalars, points)
 
     def msm_secret(self, scalars, points) -> ristretto.RistrettoPoint:
@@ -40,6 +41,8 @@ class Engine:
         native = ed_msm(scalars, eps, ct=True) if eps else None
         if native is not None:
             return ristretto.RistrettoPoint(native)
+        if hasattr(scalars, "to_ints"):
+            scalars = scalars.to_ints()
         return ristretto.multiscalar_mul(scalars, points)
 
     def basepoint_mul(self, scalar: int,

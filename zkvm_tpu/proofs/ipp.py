@@ -54,6 +54,12 @@ class InnerProductProof:
         # on device in original index space, L/R come from coefficient MSMs
         # instead of fold chains — bit-identical proofs, Θ(n·lg n) bucket
         # adds instead of Θ(n·256) fold group-ops
+        def _l(v):
+            # callers may pass packed ScalarVecs (the R1CS prover's vector
+            # algebra); the fused-native path consumes them zero-copy, the
+            # device/Python paths want plain int lists
+            return v.to_ints() if hasattr(v, "to_ints") else v
+
         min_n = getattr(eng, "ipp_device_min_n", None)
         use_pallas = getattr(eng, "_use_pallas", None)
         if (min_n is not None and n >= min_n
@@ -62,7 +68,8 @@ class InnerProductProof:
             # are far slower than the native host fold chain
             from ..kernels.ipp_device import device_ipp_create
             return device_ipp_create(
-                transcript, Q, G_factors, H_factors, G, H, a, b
+                transcript, Q, _l(G_factors), _l(H_factors), G, H,
+                _l(a), _l(b)
             )
 
         # fused native path (native/ipp_create.cpp): all rounds in one host
@@ -86,8 +93,10 @@ class InnerProductProof:
 
         G = list(G)
         H = list(H)
-        a = [x % L for x in a]
-        b = [x % L for x in b]
+        G_factors = _l(G_factors)
+        H_factors = _l(H_factors)
+        a = [x % L for x in _l(a)]
+        b = [x % L for x in _l(b)]
 
         L_vec: list[bytes] = []
         R_vec: list[bytes] = []

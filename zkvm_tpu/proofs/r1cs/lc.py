@@ -17,21 +17,41 @@ class Variable:
     kind: str  # "ml" | "mr" | "mo" | "v" | "one"
     index: int = 0
 
+    # interned instances: gadget loops create the same (kind, index)
+    # variables over and over, and frozen-dataclass construction was the
+    # single hottest line of a full-tx VM replay.  Value semantics (eq /
+    # hash) are unchanged — the caches just reuse instances.
     @staticmethod
     def multiplier_left(i: int) -> "Variable":
-        return Variable("ml", i)
+        try:
+            return _ML_CACHE[i]
+        except IndexError:
+            _grow(_ML_CACHE, "ml", i)
+            return _ML_CACHE[i]
 
     @staticmethod
     def multiplier_right(i: int) -> "Variable":
-        return Variable("mr", i)
+        try:
+            return _MR_CACHE[i]
+        except IndexError:
+            _grow(_MR_CACHE, "mr", i)
+            return _MR_CACHE[i]
 
     @staticmethod
     def multiplier_output(i: int) -> "Variable":
-        return Variable("mo", i)
+        try:
+            return _MO_CACHE[i]
+        except IndexError:
+            _grow(_MO_CACHE, "mo", i)
+            return _MO_CACHE[i]
 
     @staticmethod
     def committed(j: int) -> "Variable":
-        return Variable("v", j)
+        try:
+            return _V_CACHE[j]
+        except IndexError:
+            _grow(_V_CACHE, "v", j)
+            return _V_CACHE[j]
 
     # -- arithmetic sugar: promote to LinearCombination ---------------------
     def _lc(self) -> "LinearCombination":
@@ -56,6 +76,17 @@ class Variable:
         return self._lc() * k
 
     __rmul__ = __mul__
+
+
+_ML_CACHE: list["Variable"] = []
+_MR_CACHE: list["Variable"] = []
+_MO_CACHE: list["Variable"] = []
+_V_CACHE: list["Variable"] = []
+
+
+def _grow(cache: list, kind: str, i: int, _chunk: int = 1024) -> None:
+    lo = len(cache)
+    cache.extend(Variable(kind, j) for j in range(lo, i + _chunk))
 
 
 ONE = Variable("one", 0)

@@ -34,6 +34,11 @@ from .lc import LinearCombination, Variable, _as_lc
 from .proof import R1CSProof
 
 
+def _ints(v) -> list[int]:
+    """ScalarVec or plain list -> list of ints."""
+    return v.to_ints() if hasattr(v, "to_ints") else list(v)
+
+
 class Prover:
     """ConstraintSystem implementation holding the witness."""
 
@@ -65,6 +70,17 @@ class Prover:
             return self._rng.random_scalar()
         import os
         return scalar.from_bytes_mod_order_wide(os.urandom(64))
+
+    def _random_scalars(self, n: int):
+        """n blinding scalars as a packed ScalarVec.  With an explicit
+        TranscriptRng the draws stay on its PRF stream (sequential, exactly
+        one random_scalar per element, so both prover paths consume the
+        same randomness); otherwise one batched urandom draw."""
+        from ...native import ScalarVec
+        if self._rng is not None:
+            return ScalarVec.from_ints(
+                [self._rng.random_scalar() for _ in range(n)])
+        return ScalarVec.random(n)
 
     def commit(self, v: int, v_blinding: int) -> tuple[bytes, Variable]:
         """Commit a high-level value; returns (compressed V, variable)."""
@@ -190,15 +206,20 @@ class Prover:
         G = gens.G(n1)
         H = gens.H(n1)
 
+        from ...native import ScalarVec as _SV
+
         i_blinding1 = self._random_scalar()
         o_blinding1 = self._random_scalar()
         s_blinding1 = self._random_scalar()
-        s_L1 = [self._random_scalar() for _ in range(n1)]
-        s_R1 = [self._random_scalar() for _ in range(n1)]
+        s_L1 = self._random_scalars(n1)
+        s_R1 = self._random_scalars(n1)
 
         A_I1 = eng.msm([i_blinding1] + self.a_L + self.a_R, [B_b] + G + H).compress()
         A_O1 = eng.msm([o_blinding1] + self.a_O, [B_b] + G).compress()
-        S1 = eng.msm([s_blinding1] + s_L1 + s_R1, [B_b] + G + H).compress()
+        S1 = eng.msm(
+            _SV.concat(_SV.from_ints([s_blinding1]), s_L1, s_R1),
+            [B_b] + G + H,
+        ).compress()
         ts.append_point(b"A_I1", A_I1)
         ts.append_point(b"A_O1", A_O1)
         ts.append_point(b"S1", S1)
@@ -230,19 +251,20 @@ class Prover:
             i_blinding2 = self._random_scalar()
             o_blinding2 = self._random_scalar()
             s_blinding2 = self._random_scalar()
-            s_L2 = [self._random_scalar() for _ in range(n2)]
-            s_R2 = [self._random_scalar() for _ in range(n2)]
+            s_L2 = self._random_scalars(n2)
+            s_R2 = self._random_scalars(n2)
             A_I2 = eng.msm(
                 [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
                 [B_b] + G[n1:] + H[n1:],
             ).compress()
             A_O2 = eng.msm([o_blinding2] + self.a_O[n1:], [B_b] + G[n1:]).compress()
             S2 = eng.msm(
-                [s_blinding2] + s_L2 + s_R2, [B_b] + G[n1:] + H[n1:]
+                _SV.concat(_SV.from_ints([s_blinding2]), s_L2, s_R2),
+                [B_b] + G[n1:] + H[n1:],
             ).compress()
         else:
             i_blinding2 = o_blinding2 = s_blinding2 = 0
-            s_L2, s_R2 = [], []
+            s_L2 = s_R2 = _SV(b"", 0)
             identity = b"\x00" * 32
             A_I2 = A_O2 = S2 = identity
         ts.append_point(b"A_I2", A_I2)
@@ -260,29 +282,73 @@ class Prover:
         padded_n = next_power_of_two(n)
         pad = padded_n - n
 
-        exp_y = powers(y, padded_n)
         y_inv = scalar.invert(y)
-        exp_y_inv = powers(y_inv, padded_n)
 
-        s_L = s_L1 + s_L2 + [0] * pad
-        s_R = s_R1 + s_R2 + [0] * pad
-        a_L = self.a_L + [0] * pad
-        a_R = self.a_R + [0] * pad
-        a_O = self.a_O + [0] * pad
-        wLp = wL + [0] * pad
-        wRp = wR + [0] * pad
-        wOp = wO + [0] * pad
+        # Vector algebra over the native ScalarVec seam (VERDICT r4 task 3;
+        # upstream r1cs/prover.rs flattening + t-poly: the vectors are
+        # dense, so the l/r assembly, the six special inner products and
+        # the Horner evals are bulk mod-ℓ passes — ScalarVec.buf is also
+        # exactly the packed layout ipp_create consumes, so the IPP call
+        # pays zero re-packing).  ZKVM_TPU_PY_R1CS=1 forces the pure-Python
+        # chain below, the bit-exact ground truth (tests assert parity).
+        import os as _os
 
-        l1 = [(a_L[i] + exp_y_inv[i] * wRp[i]) % L for i in range(padded_n)]
-        l2 = list(a_O)
-        l3 = list(s_L)
-        r0 = [(wOp[i] - exp_y[i]) % L for i in range(padded_n)]
-        r1 = [(exp_y[i] * a_R[i] + wLp[i]) % L for i in range(padded_n)]
-        r3 = [exp_y[i] * s_R[i] % L for i in range(padded_n)]
+        from ...native import ScalarVec as SV
+        from ...native import get_lib
+        use_sv = (get_lib() is not None
+                  and not _os.environ.get("ZKVM_TPU_PY_R1CS"))
+        if use_sv:
+            zpad = b"\x00" * (32 * pad)
+            exp_y_sv = SV.powers(y, padded_n)
+            exp_y_inv_sv = SV.powers(y_inv, padded_n)
+            aL_sv = SV(SV.from_ints(self.a_L).buf + zpad, padded_n)
+            aR_sv = SV(SV.from_ints(self.a_R).buf + zpad, padded_n)
+            aO_sv = SV(SV.from_ints(self.a_O).buf + zpad, padded_n)
+            sL_sv = SV(s_L1.buf + s_L2.buf + zpad, padded_n)
+            sR_sv = SV(s_R1.buf + s_R2.buf + zpad, padded_n)
+            wL_sv = SV(SV.from_ints(wL).buf + zpad, padded_n)
+            wR_sv = SV(SV.from_ints(wR).buf + zpad, padded_n)
+            wO_sv = SV(SV.from_ints(wO).buf + zpad, padded_n)
 
-        l_poly = VecPoly3([0] * padded_n, l1, l2, l3)
-        r_poly = VecPoly3(r0, r1, [0] * padded_n, r3)
-        t_poly = l_poly.special_inner_product(r_poly)
+            l1 = exp_y_inv_sv.muladd(wR_sv, aL_sv)
+            l2, l3 = aO_sv, sL_sv
+            r0 = wO_sv.sub(exp_y_sv)
+            r1 = exp_y_sv.muladd(aR_sv, wL_sv)
+            r3 = exp_y_sv.mul(sR_sv)
+            from ..util import Poly6
+            t_poly = Poly6(
+                0,
+                l1.inner(r0),
+                l1.inner(r1) + l2.inner(r0),
+                l2.inner(r1) + l3.inner(r0),
+                l1.inner(r3) + l3.inner(r1),
+                l2.inner(r3),
+                l3.inner(r3),
+            )
+        else:
+            exp_y = powers(y, padded_n)
+            exp_y_inv = powers(y_inv, padded_n)
+
+            s_L = _ints(s_L1) + _ints(s_L2) + [0] * pad
+            s_R = _ints(s_R1) + _ints(s_R2) + [0] * pad
+            a_L = self.a_L + [0] * pad
+            a_R = self.a_R + [0] * pad
+            a_O = self.a_O + [0] * pad
+            wLp = wL + [0] * pad
+            wRp = wR + [0] * pad
+            wOp = wO + [0] * pad
+
+            l1 = [(a_L[i] + exp_y_inv[i] * wRp[i]) % L
+                  for i in range(padded_n)]
+            l2 = list(a_O)
+            l3 = list(s_L)
+            r0 = [(wOp[i] - exp_y[i]) % L for i in range(padded_n)]
+            r1 = [(exp_y[i] * a_R[i] + wLp[i]) % L for i in range(padded_n)]
+            r3 = [exp_y[i] * s_R[i] % L for i in range(padded_n)]
+
+            l_poly = VecPoly3([0] * padded_n, l1, l2, l3)
+            r_poly = VecPoly3(r0, r1, [0] * padded_n, r3)
+            t_poly = l_poly.special_inner_product(r_poly)
 
         t_blind = {i: self._random_scalar() for i in (1, 3, 4, 5, 6)}
         T = {
@@ -325,11 +391,19 @@ class Prover:
         else:
             Q = self.pc_gens.B * w
 
-        G_factors = [1] * n1 + [u] * (n2 + pad)
-        H_factors = [gf * yi % L for gf, yi in zip(G_factors, exp_y_inv)]
-
-        l_vec = l_poly.eval(x)
-        r_vec = r_poly.eval(x)
+        if use_sv:
+            one_b = (1).to_bytes(32, "little")
+            u_b = (u % L).to_bytes(32, "little")
+            G_factors = SV(one_b * n1 + u_b * (n2 + pad), padded_n)
+            H_factors = G_factors.mul(exp_y_inv_sv)
+            # Horner evals: l = x(l1 + x(l2 + x·l3)); r = r0 + x·r1 + x³·r3
+            l_vec = l3.scale(x).add(l2).scale(x).add(l1).scale(x)
+            r_vec = r3.scale(pow(x, 3, L)).add(r1.scale(x)).add(r0)
+        else:
+            G_factors = [1] * n1 + [u] * (n2 + pad)
+            H_factors = [gf * yi % L for gf, yi in zip(G_factors, exp_y_inv)]
+            l_vec = l_poly.eval(x)
+            r_vec = r_poly.eval(x)
 
         if bp_gens.gens_capacity < padded_n:
             raise R1CSError("invalid generators length (padding)")

@@ -178,8 +178,13 @@ class Verifier:
         sv_wO = ScalarVec.from_ints(wO + [0] * pad)
         sv_wR = ScalarVec.from_ints(wR + [0] * pad)
         sv_s = ScalarVec.from_ints(s)
-        sv_fac = ScalarVec.from_ints([1] * n1 + [u] * (n2 + pad))
-        ones = ScalarVec.from_ints([1] * padded_n)
+        # constant-shaped vectors by byte repetition (from_ints was
+        # ~0.3 ms/tx of the batched tx replay)
+        one_b = (1).to_bytes(32, "little")
+        sv_fac = ScalarVec(
+            one_b * n1 + (u % L).to_bytes(32, "little") * (n2 + pad),
+            padded_n)
+        ones = ScalarVec(one_b * padded_n, padded_n)
 
         yneg_wR = sv_yinv.mul(sv_wR)
         delta = ScalarVec(yneg_wR.buf[: 32 * n], n).inner(
