@@ -32,7 +32,16 @@ run, SIGTERM/SIGINT handlers + atexit re-print the freshest headline on any
 termination, and the expensive MSM sweep runs LAST with whatever budget
 remains.  The last JSON line on stdout is always the most complete one.
 
-Env knobs: BENCH_SWEEP="14,16,18,20", BENCH_NB="1024,4096" (batch sizes),
+Headline semantics (VERDICT r4 task 6): `value` is the SINGLE-BATCH MEDIAN
+verifies/s; the pipelined serving throughput is the labeled sibling field
+`pipelined_verifies_per_sec`, and `same_day_band` reports the ledger's
+cross-capture dispersion for the day.
+
+MSM sweep (VERDICT r4 task 1): runs INLINE in the warm largest-batch child
+(BENCH_SWEEP_INLINE), one row emitted per completed size so a timeout keeps
+finished rows; the fresh-child sweep remains only as a recovery path.
+
+Env knobs: BENCH_SWEEP="16,18,20", BENCH_NB="1024,4096" (batch sizes),
 BENCH_ITERS (default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 900),
 BENCH_BUDGET_S (default 1200), BENCH_SKIP_EFF=1 / BENCH_SKIP_SWEEP=1 to trim.
 """
@@ -67,15 +76,21 @@ STATE = {"value": None, "out": {}, "emitted_final": False}
 def _headline_dict():
     """Best-known headline: live measurement if we have one this run, else
     the freshest persisted on-chip ledger entry (the chip's speed did not
-    change because the tunnel died at bench time — VERDICT r2 #2)."""
+    change because the tunnel died at bench time — VERDICT r2 #2).
+
+    `value` is the SINGLE-BATCH MEDIAN throughput (VERDICT r4 weak #1:
+    round 4's value silently adopted the pipelined serving figure); the
+    pipelined number rides alongside as a labeled field."""
     value, out = STATE["value"], dict(STATE["out"])
     last = freshest_onchip("batch")
-    ledger_vps = max(last.get("verifies_per_sec", 0.0),
-                     last.get("pipelined_vps", 0.0)) if last else 0.0
+    ledger_vps = last.get("verifies_per_sec", 0.0) if last else 0.0
     if value is None:
         if last is None:
             return None
         value = ledger_vps
+        if last.get("pipelined_vps"):
+            out.setdefault("pipelined_verifies_per_sec",
+                           last["pipelined_vps"])
         out.setdefault(
             "note",
             "headline from persisted ON-CHIP ledger "
@@ -95,13 +110,34 @@ def _headline_dict():
         out.setdefault("live_verifies_per_sec", round(value, 2))
         out.setdefault("last_on_chip", last)
         value = ledger_vps
+    if "batch" in out and out["batch"].get("pipelined_verifies_per_sec"):
+        out.setdefault("pipelined_verifies_per_sec",
+                       out["batch"]["pipelined_verifies_per_sec"])
     return {
         "metric": "rangeproof_verifies_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "verifies/s/chip",
+        "value_is": "single_batch_median",
         "vs_baseline": round(value / BASELINE_VERIFIES_PER_SEC, 3),
         "elapsed_s": round(time.time() - T_START, 1),
         **out,
+    }
+
+
+def _same_day_band(kind: str) -> dict | None:
+    """Cross-capture dispersion of the freshest day's ledger entries
+    (VERDICT r4 weak #2: the day's best run was quoted without the band)."""
+    entries = [e for e in load_onchip() if e.get("kind") == kind]
+    if not entries:
+        return None
+    day = entries[-1].get("ts", "")[:10]
+    vals = sorted(e.get("verifies_per_sec", e.get("tx_per_sec", 0.0))
+                  for e in entries if e.get("ts", "").startswith(day))
+    if not vals:
+        return None
+    return {
+        "day": day, "captures": len(vals),
+        "min": vals[0], "median": vals[len(vals) // 2], "max": vals[-1],
     }
 
 
@@ -156,15 +192,16 @@ def load_onchip() -> list:
 def freshest_onchip(kind: str = "batch") -> dict | None:
     """Best-throughput entry of the freshest calendar day with this kind
     (same-day entries ran the same code; the best config wins), else the
-    last entry."""
+    last entry.  Ranked by the SINGLE-BATCH figure — the pipelined number
+    is reported alongside, never as the selector (VERDICT r4 weak #1)."""
     entries = [e for e in load_onchip() if e.get("kind") == kind]
     if not entries:
         return None
     day = entries[-1].get("ts", "")[:10]
     same_day = [e for e in entries if e.get("ts", "").startswith(day)]
     return max(same_day or entries[-1:],
-               key=lambda e: max(e.get("verifies_per_sec", 0),
-                                 e.get("pipelined_vps", 0)))
+               key=lambda e: e.get("verifies_per_sec",
+                                   e.get("tx_per_sec", 0)))
 
 
 def _configure_cache():
@@ -189,9 +226,11 @@ def _materialize(x):
 
 
 # --------------------------------------------------------------- children
-def _child_msm(log_n: int):
-    """Raw device MSM latency: Pallas window totals + native host combine."""
-    _configure_cache()
+def _measure_msm(log_n: int, parity: bool = False) -> dict:
+    """Raw device MSM latency: Pallas window totals + native host combine.
+    Reused by the standalone msm child AND the warm batch child's inline
+    sweep (VERDICT r4 task 1: the fresh-child sweep re-paid the full
+    tunnel connect + compile and timed out four rounds running)."""
     import random
 
     import jax
@@ -230,7 +269,7 @@ def _child_msm(log_n: int):
     zc = pm.combine_window_totals(z, wbits)
     assert zc[0] % P == 0 and zc[1] % P == zc[2] % P, "zero MSM != identity"
 
-    if os.environ.get("_BENCH_PARITY"):
+    if parity:
         # full-size parity vs the native Straus MSM (independent host path)
         from zkvm_tpu.native import ed_msm
 
@@ -251,11 +290,16 @@ def _child_msm(log_n: int):
         totals = pm.window_totals_packed(pts, digits, wbits, False)
         pm.combine_window_totals(totals, wbits)  # includes the fetch
         times.append(time.time() - t0)
-    _emit({
+    return {
         "mode": "msm", "n": n, "log_n": log_n, "wbits": wbits,
         "best_s": min(times), "compile_s": compile_s,
         "platform": jax.devices()[0].platform,
-    })
+    }
+
+
+def _child_msm(log_n: int):
+    _configure_cache()
+    _emit(_measure_msm(log_n, parity=bool(os.environ.get("_BENCH_PARITY"))))
 
 
 def _child_batch(nb: int):
@@ -342,6 +386,19 @@ def _child_batch(nb: int):
         "compile_s": compile_s, "build_s": build_s,
         "platform": jax.devices()[0].platform,
     })
+
+    # inline MSM sweep in THIS warm process (VERDICT r4 task 1): the
+    # tunnel connection and compile cache are hot, and each size emits its
+    # row the moment it completes, so a timeout mid-sweep still delivers
+    # every finished size to the parent (which keeps partial rows).
+    sweep_sizes = [int(s) for s in
+                   os.environ.get("BENCH_SWEEP_INLINE", "").split(",") if s]
+    for i, log_n in enumerate(sweep_sizes):
+        d = _measure_msm(log_n, parity=(i == 0))
+        _emit(d)
+        print(f"# inline msm 2^{log_n} w={d['wbits']}: "
+              f"{d['best_s']*1e3:.1f} ms (compile {d['compile_s']:.1f}s)",
+              file=sys.stderr)
 
 
 def _child_txbatch(ntx: int):
@@ -523,10 +580,17 @@ def _child_cloak():
 def _child_r1cs_scale():
     """R1CS at 2^15 multipliers (BASELINE config 3 upper end, VERDICT r2
     #10): 512 x 64-bit range gadgets over committed values, prove+verify
-    latency + constraint counts."""
+    latency + constraint counts.  With _BENCH_R1CS_DEVICE=1 (set by the
+    parent when the chip probe passed), the verifier's one-MSM mega-check
+    routes through the JAX engine on the chip (VERDICT r4 task 4; upstream
+    seam: r1cs/verifier.rs one-MSM verify)."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    device = os.environ.get("_BENCH_R1CS_DEVICE") == "1"
+    if device:
+        _configure_cache()
+    else:
+        jax.config.update("jax_platforms", "cpu")
     import random
 
     from zkvm_tpu.constants import L
@@ -550,20 +614,38 @@ def _child_r1cs_scale():
     build_ms = (time.perf_counter() - t0) * 1e3
     met = prover.metrics()
     t0 = time.perf_counter()
-    proof = prover.prove(bp)
+    proof = prover.prove(bp)  # host prove (native IPP + ScalarVec algebra)
     prove_ms = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    verifier = Verifier(ProofTranscript(b"r1cs-scale"))
-    for com in coms:
-        range_proof_gadget(verifier, verifier.commit(com), 64, None)
-    verifier.verify(proof, pc, bp)
-    verify_ms = (time.perf_counter() - t0) * 1e3
+
+    platform = "cpu"
+    if device and jax.default_backend() in ("tpu", "axon"):
+        from zkvm_tpu.kernels.engine import JaxEngine
+        from zkvm_tpu.proofs.engine import set_engine
+        set_engine(JaxEngine())
+        platform = jax.devices()[0].platform
+
+    def verify_once():
+        verifier = Verifier(ProofTranscript(b"r1cs-scale"))
+        for com in coms:
+            range_proof_gadget(verifier, verifier.commit(com), 64, None)
+        verifier.verify(proof, pc, bp)
+
+    verify_iters = []
+    n_ver = (ITERS + 1) if device else 1  # first device iter pays compile
+    for _ in range(n_ver):
+        t0 = time.perf_counter()
+        verify_once()
+        verify_iters.append((time.perf_counter() - t0) * 1e3)
+    timed = verify_iters[1:] if len(verify_iters) > 1 else verify_iters
+    verify_ms = sorted(timed)[len(timed) // 2]
     _emit({
         "mode": "r1cs_scale", "multipliers": met.multipliers,
         "constraints": met.constraints,
         "phase_one_constraints": met.phase_one_constraints,
         "phase_two_constraints": met.phase_two_constraints,
         "build_ms": build_ms, "prove_ms": prove_ms, "verify_ms": verify_ms,
+        "verify_iters_ms": [round(t, 1) for t in verify_iters],
+        "verify_platform": platform,
     })
 
 
@@ -729,11 +811,13 @@ def _host_fallback(extra=None):
         "verifies_per_sec": 1070.3, "batch_ms": 239.4, "nb": 256,
         "ts": "2026-08-17", "note": "round-2 measurement (pre-ledger)",
     }
-    vps = max(last["verifies_per_sec"], last.get("pipelined_vps", 0.0))
+    vps = last["verifies_per_sec"]
     print(json.dumps({
         "metric": "rangeproof_verifies_per_sec_per_chip",
         "value": round(vps, 2),
         "unit": "verifies/s/chip",
+        "value_is": "single_batch_median",
+        "pipelined_verifies_per_sec": last.get("pipelined_vps"),
         "vs_baseline": round(vps / BASELINE_VERIFIES_PER_SEC, 3),
         "note": "device unreachable at bench time; value is the freshest "
                 f"persisted ON-CHIP measurement ({last.get('ts')}, "
@@ -746,7 +830,12 @@ def _host_fallback(extra=None):
     print("# host(native-engine) fallback measurement", file=sys.stderr)
 
 
-def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None):
+def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None,
+               all_rows: bool = False):
+    """Run one bench child; returns its emitted dict (or, with all_rows,
+    EVERY emitted dict — children that measure incrementally emit one row
+    per completed stage, and a TimeoutExpired still surfaces the rows
+    captured so far, so a slow tail can't erase finished measurements)."""
     env = dict(os.environ)
     env["_BENCH_CHILD"] = mode
     env["_BENCH_ARG"] = arg
@@ -757,28 +846,42 @@ def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None):
     if timeout <= 1:
         print(f"# child {mode}({arg}) skipped: budget exhausted",
               file=sys.stderr)
-        return None
+        return [] if all_rows else None
+    stdout, stderr = "", ""
+    timed_out = False
     try:
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
             timeout=timeout,
         )
-    except subprocess.TimeoutExpired:
-        print(f"# child {mode}({arg}) timed out", file=sys.stderr)
-        return None
-    for line in res.stderr.splitlines():
+        stdout, stderr = res.stdout, res.stderr
+    except subprocess.TimeoutExpired as e:
+        timed_out = True
+        stdout = (e.stdout or b"").decode() if isinstance(
+            e.stdout, bytes) else (e.stdout or "")
+        stderr = (e.stderr or b"").decode() if isinstance(
+            e.stderr, bytes) else (e.stderr or "")
+        print(f"# child {mode}({arg}) timed out"
+              + (" (partial rows kept)" if stdout else ""), file=sys.stderr)
+    for line in stderr.splitlines():
         if line.startswith("#"):
             print(line, file=sys.stderr)
-    for line in res.stdout.splitlines():
+    rows = []
+    for line in stdout.splitlines():
         try:
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
         if d.get("__bench_child__"):
-            return d
-    print(f"# child {mode}({arg}) failed: {res.stderr[-400:]}",
-          file=sys.stderr)
+            rows.append(d)
+    if all_rows:
+        return rows
+    if rows:
+        return rows[0]
+    if not timed_out:
+        print(f"# child {mode}({arg}) failed: {stderr[-400:]}",
+              file=sys.stderr)
     return None
 
 
@@ -881,25 +984,53 @@ def main():
               file=sys.stderr)
         os.environ["BENCH_SKIP_SWEEP"] = "1"
 
-    # 1) end-to-end batched verification — THE headline, so it runs first
+    # 1) end-to-end batched verification — THE headline, so it runs first.
+    # The LARGEST batch child also carries the MSM sweep inline (task 1:
+    # the warm process re-uses the tunnel connection + compile cache and
+    # emits each sweep row incrementally).
     value = None
     batches = [int(s) for s in
                os.environ.get("BENCH_NB", "1024,4096").split(",") if s]
     if not device_ok:
         batches = []
+    sweep = []
+    sweep_env = os.environ.get("BENCH_SWEEP", "16,18,20")
     best_batch = None
     for nb in batches:
-        d = _run_child("batch", str(nb))
+        inline = (nb == max(batches)
+                  and not os.environ.get("BENCH_SKIP_SWEEP"))
+        rows = _run_child(
+            "batch", str(nb), all_rows=True,
+            extra_env={"BENCH_SWEEP_INLINE": sweep_env} if inline else None,
+            timeout=ATTEMPT_TIMEOUT + (600 if inline else 0),
+        )
+        d = next((r for r in rows if r.get("mode") == "batch"), None)
+        for m in rows:
+            if m.get("mode") != "msm":
+                continue
+            m["mpts_per_s"] = round(m["n"] / m["best_s"] / 1e6, 3)
+            sweep.append({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in m.items()
+                          if k not in ("__bench_child__", "mode")})
+            print(f"# msm 2^{m['log_n']} w={m['wbits']}: "
+                  f"{m['best_s']*1e3:.1f} ms ({m['mpts_per_s']} Mpts/s)",
+                  file=sys.stderr)
+            if m.get("platform") in ("tpu", "axon"):
+                record_onchip({
+                    "kind": "msm", "log_n": m["log_n"],
+                    "wbits": m["wbits"],
+                    "ms": round(m["best_s"] * 1e3, 1),
+                    "mpts_per_s": m["mpts_per_s"],
+                })
         if d:
-            # steady-state throughput (host/device overlapped) is the
-            # serving figure of merit; single-batch latency is also kept.
-            # Quoted figure uses the MEDIAN iteration, not the best, so a
-            # single fast tunnel capture can't inflate the headline
-            # (VERDICT r3 weak #4).
+            # headline value = SINGLE-BATCH MEDIAN throughput (VERDICT r4
+            # weak #1/#2: the best-of-day pipelined figure silently became
+            # `value` in round 4); the pipelined serving figure is kept as
+            # a labeled sibling.  Median iteration, not best, so a single
+            # fast tunnel capture can't inflate the headline.
             lat_vps = d["nb"] / d.get("median_s", d["best_s"])
             pipe_vps = d["nb"] / d["pipelined_s"] if d.get("pipelined_s") \
                 else 0.0
-            vps = max(lat_vps, pipe_vps)
             print(f"# batch_verify nb={nb}: {d['best_s']*1e3:.1f} ms/batch "
                   f"({lat_vps:.0f} verifies/s latency, {pipe_vps:.0f} "
                   f"pipelined; device {d['device_s']*1e3:.0f} ms"
@@ -921,8 +1052,10 @@ def main():
                 if pipe_vps:
                     entry["pipelined_vps"] = round(pipe_vps, 1)
                 record_onchip(entry)
-            if best_batch is None or vps > best_batch[0]:
-                best_batch = (vps, d)
+            if best_batch is None or lat_vps > best_batch[0]:
+                best_batch = (lat_vps, d)
+    if sweep:
+        out["msm_sweep"] = sweep
     if best_batch:
         value = best_batch[0]
         d = best_batch[1]
@@ -932,11 +1065,15 @@ def main():
             "iter_s": d.get("iter_s"),
             "pipelined_s": round(d["pipelined_s"], 4)
             if d.get("pipelined_s") else None,
+            "pipelined_verifies_per_sec": round(
+                d["nb"] / d["pipelined_s"], 1)
+            if d.get("pipelined_s") else None,
             "device_ms": round(d["device_s"] * 1e3, 1),
             "host_ms": round(d["host_s"] * 1e3, 1),
             "host_us_per_proof": round(d["host_s"] / d["nb"] * 1e6, 1),
             "dev_decompress": d.get("dev_decompress"),
             "platform": d["platform"],
+            "same_day_band": _same_day_band("batch"),
         }
         STATE["value"] = value  # live headline now survives any termination
 
@@ -998,24 +1135,36 @@ def main():
         out["r1cs_cloak_verify_ms"] = round(d["verify_ms"], 1)
         print(f"# r1cs 4x4 cloak: prove {out['r1cs_cloak_prove_ms']} ms, "
               f"verify {out['r1cs_cloak_verify_ms']} ms", file=sys.stderr)
-    d = _run_child("r1cs_scale", timeout=900)
+    d = _run_child(
+        "r1cs_scale", timeout=900,
+        extra_env={"_BENCH_R1CS_DEVICE": "1"} if device_ok else None)
     if d:
         out["r1cs_2e15"] = {
             "multipliers": d["multipliers"],
             "constraints": d["constraints"],
             "prove_ms": round(d["prove_ms"], 1),
             "verify_ms": round(d["verify_ms"], 1),
+            "verify_platform": d.get("verify_platform", "cpu"),
+            "verify_iters_ms": d.get("verify_iters_ms"),
         }
         print(f"# r1cs 2^15 multipliers ({d['constraints']} constraints): "
-              f"prove {d['prove_ms']:.0f} ms, verify {d['verify_ms']:.0f} ms",
+              f"prove {d['prove_ms']:.0f} ms, verify {d['verify_ms']:.0f} ms"
+              f" ({d.get('verify_platform', 'cpu')})",
               file=sys.stderr)
+        if d.get("verify_platform") in ("tpu", "axon"):
+            record_onchip({
+                "kind": "r1cs", "multipliers": d["multipliers"],
+                "verify_ms": round(d["verify_ms"], 1),
+                "prove_ms": round(d["prove_ms"], 1),
+            })
 
-    # 4) device MSM sweep — the most expensive, least headline-critical
-    # phase, so it runs LAST with whatever budget remains (VERDICT r3 #1c)
-    sweep = []
-    if not os.environ.get("BENCH_SKIP_SWEEP") and _remaining() > 120:
+    # 4) fallback MSM sweep — only when the inline sweep inside the warm
+    # batch child (phase 1) produced nothing; fresh children re-pay the
+    # tunnel connect, so this is strictly a recovery path
+    if (not sweep and not os.environ.get("BENCH_SKIP_SWEEP")
+            and _remaining() > 120):
         sizes = [int(s) for s in
-                 os.environ.get("BENCH_SWEEP", "14,16,18,20").split(",") if s]
+                 os.environ.get("BENCH_SWEEP", "16,18,20").split(",") if s]
         for i, log_n in enumerate(sizes):
             if _remaining() < 90:
                 print(f"# sweep truncated before 2^{log_n}: budget",
