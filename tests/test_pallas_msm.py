@@ -276,3 +276,113 @@ def test_seq_pipeline_end_to_end(wbits):
     assert res.returncode == 0 and "SEQ-PIPELINE-OK" in res.stdout, (
         res.stderr[-2000:]
     )
+
+
+# ------------------------------------------------------------ v5 frontend
+def test_sort_rows_device_parity():
+    """Pallas bitonic row sort vs np.sort: non-pow2 columns (sentinel
+    padding), rows not a multiple of the sublane block, and values spanning
+    the full nonnegative packed-key range."""
+    r = np.random.RandomState(7)
+    for shape in [(3, 1000), (8, 4096), (20, 513), (1, 16)]:
+        x = r.randint(0, 2**31 - 1, size=shape, dtype=np.int64).astype(
+            np.int32)
+        got = np.asarray(pm.sort_rows_device(jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(got, np.sort(x, axis=1))
+
+
+def test_encode_decode_words_roundtrip():
+    """encode_words_lm must be the exact inverse of decode_words_lm on
+    canonical limbs, and match the little-endian integer packing."""
+    from zkvm_tpu.kernels.limbs import int_to_limbs
+
+    r = random.Random(11)
+    vals = [r.randrange(P) for _ in range(64)] + [0, 1, P - 1]
+    limbs = jnp.asarray(
+        np.stack([int_to_limbs(v) for v in vals]).T.astype(np.int32))
+    words = pm.encode_words_lm(limbs)                       # (8, n)
+    back = pm.decode_words_lm(words)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(limbs))
+    w_np = np.asarray(words)
+    for i, v in enumerate(vals):
+        got = int.from_bytes(w_np[:, i].tobytes(), "little")
+        assert got == v, (i, v, got)
+
+
+def test_normalize_lm_loose_input():
+    """normalize_lm reduces loose (sum/negated) limb vectors to the
+    canonical representative mod p."""
+    from zkvm_tpu.kernels.limbs import int_to_limbs
+
+    r = random.Random(13)
+    vals = [r.randrange(P) for _ in range(8)]
+    loose = np.stack([int_to_limbs(v) for v in vals]).T.astype(np.int32)
+    loose = loose * 3 - 2 * np.asarray(
+        np.stack([int_to_limbs(v) for v in vals]).T, np.int32)  # == v, loose
+    loose[:, :4] += np.asarray(int_to_limbs(P))[:, None]        # v + p
+    out = np.asarray(pm.normalize_lm(jnp.asarray(loose)))
+    for i, v in enumerate(vals):
+        got = sum(int(out[j, i]) << (13 * j) for j in range(out.shape[0]))
+        assert got == v % P
+        assert (out[:, i] >= 0).all() and (out[:, i] < (1 << 13)).all()
+
+
+def test_gather_rows_words_parity():
+    r = np.random.RandomState(3)
+    src = r.randint(-2**31, 2**31 - 1, size=(32, 256),
+                    dtype=np.int64).astype(np.int32)
+    perm = np.stack([r.permutation(256) for _ in range(5)]).astype(np.int32)
+    got = np.asarray(pm.gather_rows_words(
+        jnp.asarray(src), jnp.asarray(perm), interpret=True))
+    expect = np.stack([src[:, perm[w]] for w in range(5)])
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("wbits", [8])
+@pytest.mark.heavy
+def test_seq_pipeline_words_path(wbits):
+    """The v5 frontend (Pallas bitonic sort + words gather + in-kernel
+    decode/cneg scan) end-to-end vs the oracle at the production tile size
+    (subprocess for the same XLA-CPU flake as test_seq_pipeline_end_to_end;
+    env forces the Pallas stages, which default off in interpret mode)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import random
+        from zkvm_tpu.constants import L, P
+        from zkvm_tpu.kernels import pallas_msm as pm
+        from zkvm_tpu.oracle import edwards as oe
+        from zkvm_tpu.oracle.ristretto import RistrettoPoint
+
+        WBITS = {wbits}
+        n = pm.SEQ_LANES * pm.SEQ_BLOCK
+        r = random.Random(99)
+        rr = random.Random(99)
+        base = [RistrettoPoint.from_uniform_bytes(
+            rr.getrandbits(512).to_bytes(64, "little")).ep
+            for _ in range(64)]
+        pts = [base[i % 64] for i in range(n)]
+        ks = [r.randrange(L) for _ in range(n)]
+        expect = oe.multiscalar_mul(ks, pts)
+        got = pm.msm(pts, ks, wbits=WBITS, interpret=True)
+        gx, gy, gz, _ = got
+        ex, ey, ez, _ = expect
+        assert (gx * ez - ex * gz) % P == 0
+        assert (gy * ez - ey * gz) % P == 0
+        print("SEQ-WORDS-OK")
+    """)
+    env = dict(os.environ)
+    env["ZKVM_MSM_SORT"] = "pallas"
+    env["ZKVM_MSM_GATHER"] = "pallas"
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1200, env=env,
+    )
+    assert res.returncode == 0 and "SEQ-WORDS-OK" in res.stdout, (
+        res.stderr[-2000:]
+    )

@@ -603,6 +603,228 @@ def _weighted_fold_seq(buckets: PointBatch, interpret: bool) -> PointBatch:
                       outs2[2][:, :, 0], outs2[3][:, :, 0])
 
 
+# ------------------------------------------------------ v5 device frontend
+# Round-4 on-chip stage probe (2^16, w=13, 20 windows, v5e): the XLA sort
+# measured 31.5 ms and the XLA permutation gather 28.8 ms of the 71.5 ms
+# total, while the Pallas scan itself is 6.9 ms.  Both are replaced here
+# with VMEM-resident Pallas kernels (upstream pippenger.rs does the same
+# grouping with a serial one-pass bucket walk; on a TPU the sort IS the
+# grouping, so it has to be fast):
+#
+#   * sort_rows_device — an unrolled bitonic network over the lane axis,
+#     one VMEM block per 8 windows.  XLA's TPU sort round-trips HBM per
+#     compare-exchange pass; at n <= 2^17 the rows fit in VMEM whole.
+#   * gather_rows_words — the per-window permutation gather, gathering
+#     128-byte canonical u32 words (2.5x less traffic than 320-byte limb
+#     rows) with tpu.dynamic_gather from a VMEM-resident source.
+#   * _seq_segmented_scan_words — the same sequential segmented scan, but
+#     decoding words -> limbs and applying the digit sign IN KERNEL, so
+#     the 420 MB decoded+negated intermediate never exists in HBM.
+#
+# Env: ZKVM_MSM_SORT / ZKVM_MSM_GATHER = pallas|xla pick per-stage
+# implementations for on-chip A/B; both default to pallas on real TPU
+# backends and xla in interpret mode (the unrolled network is slow to
+# interpret).  Parity: tests/test_pallas_msm.py runs both combinations.
+
+def _bitonic_kernel(n: int):
+    """Ascending bitonic sort of each sublane row of a (RB, n) int32 block
+    (n a power of two, values nonnegative).  Partner exchange rides two
+    static lane rolls + a select; ~sum(lg n) stages unroll statically."""
+    def kernel(x_ref, o_ref):
+        v = x_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        size = 2
+        while size <= n:
+            stride = size // 2
+            while stride >= 1:
+                up = pltpu.roll(v, n - stride, 1)  # up[i] = v[i+stride]
+                dn = pltpu.roll(v, stride, 1)      # dn[i] = v[i-stride]
+                lower = (lane & stride) == 0
+                partner = jnp.where(lower, up, dn)
+                take_min = lower == ((lane & size) == 0)
+                v = jnp.where(take_min, jnp.minimum(v, partner),
+                              jnp.maximum(v, partner))
+                stride //= 2
+            size *= 2
+        o_ref[...] = v
+    return kernel
+
+
+def sort_rows_device(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Ascending per-row sort of (R, n) int32 with NONNEGATIVE entries.
+    Columns pad to the next power of two with int32-max sentinels (they
+    sort to the tail and are sliced off); rows pad to the sublane block."""
+    R, n = x.shape
+    npad = 1 << max(n - 1, 1).bit_length()
+    # VMEM budget: ~4 live (rb, npad) int32 arrays
+    rb = max(1, min(8, (1 << 19) // npad))
+    rpad = -(-R // rb) * rb
+    xp = jnp.pad(x, ((0, rpad - R), (0, npad - n)),
+                 constant_values=np.int32(2**31 - 1))
+    spec = pl.BlockSpec((rb, npad), lambda r: (r, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _bitonic_kernel(npad),
+        grid=(rpad // rb,),
+        out_shape=jax.ShapeDtypeStruct((rpad, npad), jnp.int32),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(xp)
+    return out[:R, :n]
+
+
+def _use_pallas_stage(env_name: str, interpret: bool) -> bool:
+    v = _os.environ.get(env_name, "")
+    if v == "pallas":
+        return True
+    if v == "xla":
+        return False
+    return not interpret
+
+
+def _sort_rows(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    if _use_pallas_stage("ZKVM_MSM_SORT", interpret):
+        return sort_rows_device(x, interpret)
+    return jax.lax.sort(x, dimension=1)
+
+
+def normalize_lm(x: jnp.ndarray) -> jnp.ndarray:
+    """Full canonical mod-p reduction, limbs on axis 0 (field.normalize is
+    limbs-last)."""
+    from .field import normalize
+    return jnp.moveaxis(normalize(jnp.moveaxis(x, 0, -1)), -1, 0)
+
+
+def encode_words_lm(limbs: jnp.ndarray) -> jnp.ndarray:
+    """(NLIMBS, ...) CANONICAL int32 limbs -> (8, ...) uint32 little-endian
+    words (exact inverse of decode_words_lm)."""
+    lu = limbs.astype(jnp.uint32)
+    words = []
+    for k in range(8):
+        lo_bit, hi_bit = 32 * k, 32 * k + 32
+        w = None
+        for j in range(NLIMBS):
+            b = LIMB_BITS * j
+            if b + LIMB_BITS <= lo_bit or b >= hi_bit:
+                continue
+            sh = b - lo_bit
+            t = (lu[j] << sh) if sh >= 0 else (lu[j] >> (-sh))
+            w = t if w is None else (w | t)
+        words.append(w)
+    return jnp.stack(words)
+
+
+def gather_rows_words(src: jnp.ndarray, perm: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Per-window permutation gather from a VMEM-resident source:
+    src (S, n) int32 word-planes, perm (nwg, n) int32 ->
+    out (nwg, S, n) with out[w, s, j] = src[s, perm[w, j]].
+    take_along_axis lowers to tpu.dynamic_gather (lane-axis batched
+    gather); the source chunk stays resident across the window axis."""
+    S, n = src.shape
+    nwg = perm.shape[0]
+    cb = 8 if n <= (1 << 16) else 4
+    assert S % cb == 0, (S, cb)
+    sspec = pl.BlockSpec((cb, n), lambda c, w: (c, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, n), lambda c, w: (w, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, cb, n), lambda c, w: (w, c, 0),
+                         memory_space=pltpu.VMEM)
+
+    def kernel(s_ref, p_ref, o_ref):
+        idx = jnp.broadcast_to(p_ref[...], (cb, n))
+        o_ref[0] = jnp.take_along_axis(s_ref[...], idx, axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(S // cb, nwg),
+        out_shape=jax.ShapeDtypeStruct((nwg, S, n), jnp.int32),
+        in_specs=[sspec, pspec],
+        out_specs=ospec,
+        interpret=interpret,
+    )(src, perm)
+
+
+def _decode_coord_tile(words: jnp.ndarray) -> jnp.ndarray:
+    """(8, T) int32 word tile -> (NLIMBS, T) int32 limbs (in-kernel twin of
+    decode_words_lm; logical shifts via a uint32 view)."""
+    w = pltpu.bitcast(words, jnp.uint32)
+    w = jnp.concatenate([w, jnp.zeros_like(w[:1])])
+    limbs = []
+    for j in range(NLIMBS):
+        bit = LIMB_BITS * j
+        k, s = bit >> 5, bit & 31
+        lo = w[k] >> s
+        if s > 32 - LIMB_BITS:
+            lo = lo | (w[k + 1] << (32 - s))
+        limbs.append((lo & jnp.uint32(LIMB_MASK)).astype(jnp.int32))
+    return jnp.stack(limbs)
+
+
+def _seq_scan_words_kernel(pw, f_ref, d2_ref,
+                           ox, oy, oz, ot, cx, cy, cz, ct):
+    """_seq_scan_kernel twin taking raw (32, ...) word blocks: decodes
+    words -> limbs and applies the digit sign (flag bit 1) in VMEM, so the
+    decoded/negated point array never materializes in HBM."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        ix, iy, iz, it = _identity_planes(cx.shape[1:])
+        cx[...], cy[...], cz[...], ct[...] = ix, iy, iz, it
+
+    carry = (cx[...], cy[...], cz[...], ct[...])
+    d2 = d2_ref[...]
+    for k in range(SEQ_BLOCK):
+        w = pw[:, 0, k, :]                        # (32, T)
+        x = _decode_coord_tile(w[0:8])
+        y = _decode_coord_tile(w[8:16])
+        z = _decode_coord_tile(w[16:24])
+        t = _decode_coord_tile(w[24:32])
+        f = f_ref[:, 0, k, :]                     # (1, T)
+        sgn = (f & 2) != 0
+        x = jnp.where(sgn, _carry_tile(-x), x)
+        t = jnp.where(sgn, _carry_tile(-t), t)
+        p = (x, y, z, t)
+        s = _add_formula(carry, p, d2)
+        keep = (f & 1) != 0
+        run = tuple(jnp.where(keep, pc, sc) for pc, sc in zip(p, s))
+        ox[:, 0, k, :], oy[:, 0, k, :], oz[:, 0, k, :], ot[:, 0, k, :] = run
+        carry = run
+    cx[...], cy[...], cz[...], ct[...] = carry
+
+
+def _seq_segmented_scan_words(words: jnp.ndarray, flags: jnp.ndarray,
+                              interpret: bool) -> PointBatch:
+    """words: (32, nw, K, M) int32 gathered point words in lane-run layout;
+    flags: (1, nw, K, M) with bit 0 = segment start, bit 1 = negate.
+    Returns running segment values (NLIMBS, nw, K, M) like
+    _seq_segmented_scan."""
+    _, nw, K, M = words.shape
+    assert K % SEQ_BLOCK == 0 and M % SCAN_TILE == 0, (K, M)
+    wspec = pl.BlockSpec((32, 1, SEQ_BLOCK, SCAN_TILE),
+                         lambda w, m, k: (0, w, k, m),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, 1, SEQ_BLOCK, SCAN_TILE),
+                         lambda w, m, k: (0, w, k, m),
+                         memory_space=pltpu.VMEM)
+    d2spec = pl.BlockSpec((NLIMBS, SCAN_TILE), lambda w, m, k: (0, 0),
+                          memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((NLIMBS, nw, K, M), jnp.int32)
+    out = pl.pallas_call(
+        _seq_scan_words_kernel,
+        out_shape=(shp,) * 4,
+        grid=(nw, M // SCAN_TILE, K // SEQ_BLOCK),
+        in_specs=[wspec, fspec, d2spec],
+        out_specs=(pl.BlockSpec((NLIMBS, 1, SEQ_BLOCK, SCAN_TILE),
+                                lambda w, m, k: (0, w, k, m),
+                                memory_space=pltpu.VMEM),) * 4,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, SCAN_TILE), jnp.int32)] * 4,
+        interpret=interpret,
+    )(words, flags, jnp.asarray(_D2_TILE[:, :SCAN_TILE]))
+    return PointBatch(*out)
+
+
 def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
                        interpret: bool) -> PointBatch:
     """Sequential-chunk bucket pipeline; requires n % (SEQ_LANES *
@@ -625,31 +847,45 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
 
     dT = digits.T                                      # (nw, n)
 
-    # one (80, n) array so the per-window permutation is ONE XLA gather
-    # instead of four (A/B'd on-chip 2026-08-18: 286 vs 322 ms device at
-    # the nb=4096 batch-verify shape; ~even at nb=1024)
-    stacked = jnp.concatenate([points.x, points.y, points.z, points.t])
+    use_wgather = _use_pallas_stage("ZKVM_MSM_GATHER", interpret)
+    if use_wgather:
+        # canonical u32 word planes, VMEM-resident source for the Pallas
+        # gather: 128 B/point vs 320 B limb rows, decoded back to limbs
+        # inside the scan kernel
+        src_words = jnp.concatenate([
+            jax.lax.bitcast_convert_type(
+                encode_words_lm(normalize_lm(c)), jnp.int32)
+            for c in (points.x, points.y, points.z, points.t)
+        ])                                             # (32, n) int32
+    else:
+        # one (80, n) array so the per-window permutation is ONE XLA gather
+        # instead of four (A/B'd on-chip 2026-08-18: 286 vs 322 ms device
+        # at the nb=4096 batch-verify shape; ~even at nb=1024)
+        stacked = jnp.concatenate([points.x, points.y, points.z, points.t])
 
     def group_totals(dT_g: jnp.ndarray) -> PointBatch:
         nwg = dT_g.shape[0]
         shift = max(n - 1, 1).bit_length()  # index bits
-        if wbits + shift <= 31:
-            # pack (|digit|, index) into one int32 so the sort is a
-            # single-operand sort instead of a key-val pair sort.
+        if wbits + shift + 1 <= 31:
+            # pack (|digit|, sign, index) into one int32 so the sort is a
+            # single-operand sort AND the sign needs no post-sort gather.
             # INVARIANT: |digit| <= 2^(wbits-1) (signed_digits_radix_2w /
             # recode_digits_device guarantee this), so the key occupies at
-            # most wbits bits above the shift; an out-of-range digit here
+            # most wbits bits above shift+1; an out-of-range digit here
             # would silently corrupt the index bits of perm — any new digit
             # recoder feeding this path must preserve the bound.
-            packed = (jnp.abs(dT_g) << shift) | jnp.arange(n, dtype=jnp.int32)
-            sp = jax.lax.sort(packed, dimension=1)
-            sorted_key = sp >> shift
+            packed = ((jnp.abs(dT_g) << (shift + 1))
+                      | ((dT_g < 0).astype(jnp.int32) << shift)
+                      | jnp.arange(n, dtype=jnp.int32))
+            sp = _sort_rows(packed, interpret)
+            sorted_key = sp >> (shift + 1)
+            sorted_sign = ((sp >> shift) & 1) != 0
             perm = sp & ((1 << shift) - 1)
         else:
             idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nwg, n))
             sorted_key, perm = jax.lax.sort_key_val(
                 jnp.abs(dT_g), idx, dimension=1)
-        sorted_sign = jnp.take_along_axis(dT_g < 0, perm, axis=1)
+            sorted_sign = jnp.take_along_axis(dT_g < 0, perm, axis=1)
         changed = sorted_key[:, 1:] != sorted_key[:, :-1]
         ones = jnp.ones((nwg, 1), jnp.bool_)
         start = jnp.concatenate([ones, changed], axis=1)   # (nwg, n)
@@ -659,14 +895,19 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             """Sorted order -> lane-run layout: p = m*K + k -> [k, m]."""
             return a.reshape(nwg, M, K).transpose(0, 2, 1)
 
-        perm_l = lr(perm)
-        g = jnp.take(stacked, perm_l, axis=1)   # (4*NLIMBS, nwg, K, M)
-        pts = PointBatch(g[:NLIMBS], g[NLIMBS:2 * NLIMBS],
-                         g[2 * NLIMBS:3 * NLIMBS], g[3 * NLIMBS:])
-        pts = cneg_lm(pts, lr(sorted_sign))
         start_l = lr(start).astype(jnp.int32)
-
-        scanned = _seq_segmented_scan(pts, start_l[None], interpret)
+        if use_wgather:
+            g = gather_rows_words(src_words, perm, interpret)  # (nwg,32,n)
+            gw = jnp.transpose(g.reshape(nwg, 32, M, K), (1, 0, 3, 2))
+            flags = start_l | (lr(sorted_sign).astype(jnp.int32) << 1)
+            scanned = _seq_segmented_scan_words(gw, flags[None], interpret)
+        else:
+            perm_l = lr(perm)
+            g = jnp.take(stacked, perm_l, axis=1)  # (4*NLIMBS, nwg, K, M)
+            pts = PointBatch(g[:NLIMBS], g[NLIMBS:2 * NLIMBS],
+                             g[2 * NLIMBS:3 * NLIMBS], g[3 * NLIMBS:])
+            pts = cneg_lm(pts, lr(sorted_sign))
+            scanned = _seq_segmented_scan(pts, start_l[None], interpret)
 
         # cross-lane incoming prefixes from the per-lane tails
         tails = PointBatch(
@@ -730,7 +971,7 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             packed2 = (jnp.where(is_end, 0, 1 << 30)
                        | (sorted_key << shift2) | p_iota2)
             nt = nbuckets + 1                       # + the key-0 segment
-            sp2 = jax.lax.sort(packed2, dimension=1)[:, :nt]
+            sp2 = _sort_rows(packed2, interpret)[:, :nt]
             tail_key = (sp2 >> shift2) & ((1 << wbits) - 1)
             # non-end entries that leak into the slice get an impossible
             # key ABOVE every bucket (keeps rows ascending for the search)
