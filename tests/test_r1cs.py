@@ -232,3 +232,49 @@ def test_prover_scalarvec_matches_python_vectors(monkeypatch):
     monkeypatch.setenv("ZKVM_TPU_PY_R1CS", "1")
     py_bytes = prove_once()
     assert sv_bytes == py_bytes
+
+
+def test_flatten_native_vs_python(monkeypatch):
+    """scl_flatten must agree bit-for-bit with the pure-Python
+    flatten_constraints fold across kinds, signs, negative/large coeffs,
+    and skipped-power edge cases (a full verification run under
+    ZKVM_TPU_PY_FLATTEN=1 vs the default)."""
+    import random as _r
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.native import flatten_constraints_vec, get_lib
+    from zkvm_tpu.proofs.r1cs.constraint_system import flatten_constraints
+    from zkvm_tpu.proofs.r1cs.lc import LinearCombination, Variable
+
+    if get_lib() is None:
+        import pytest as _pytest
+        _pytest.skip("native library unavailable")
+
+    rng = _r.Random(5)
+    n, m = 13, 4
+    constraints = []
+    for q in range(40):
+        terms = []
+        for _ in range(rng.randrange(0, 5)):
+            kind = rng.choice(["ml", "mr", "mo", "v", "one"])
+            idx = rng.randrange(m if kind == "v" else n)
+            coeff = rng.choice([
+                1, -1, 2, -(1 << 63), (1 << 64) + 5, rng.randrange(L),
+                -rng.randrange(L), 1 << 63, 0,
+            ])
+            if kind == "one":
+                terms.append((Variable("one", None), coeff))
+            else:
+                terms.append((Variable(kind, idx), coeff))
+        constraints.append(LinearCombination(tuple(terms)))
+
+    wL, wR, wO, wV, wc = flatten_constraints(constraints, 12345, n, m)
+    pad = 3
+    out = flatten_constraints_vec(constraints, 12345, n, m, pad)
+    assert out is not None
+    svL, svR, svO, nwV, nwc = out
+    assert svL.to_ints() == wL + [0] * pad
+    assert svR.to_ints() == wR + [0] * pad
+    assert svO.to_ints() == wO + [0] * pad
+    assert nwV == wV
+    assert nwc == wc

@@ -288,6 +288,70 @@ void scl_inner(const uint8_t* a, const uint8_t* b, int n, uint8_t* out) {
     store4(out, acc);
 }
 
+// Fold R1CS constraint terms with powers of z into per-wire weight vectors
+// (upstream bulletproofs r1cs/verifier.rs flattened_constraints; the
+// Python triple loop + from_ints conversion was ~0.7 ms/tx of the batched
+// full-tx replay).  Terms arrive as parallel arrays in constraint order:
+//   qs[t]    constraint index (ascending, may repeat/skip)
+//   kinds[t] bits 0..2: 0=mult-left 1=mult-right 2=mult-out 3=committed
+//            4=constant; bit 7: coeff is negated; bit 6: coeff is a full
+//            32-byte scalar in `big` (consumed in order), else coeffs64[t]
+//   idxs[t]  wire index within its kind
+// Weights use z^{q+1}; committed/constant terms subtract (upstream sign
+// convention).  outL/outR/outO are zeroed for n entries, outV for m; the
+// caller may allocate them longer (padding stays zero).
+void scl_flatten(const int32_t* qs, const uint8_t* kinds,
+                 const int32_t* idxs, const uint64_t* coeffs64,
+                 const uint8_t* big, long n_terms, const uint8_t* z_le,
+                 int n, int m, uint8_t* outL, uint8_t* outR, uint8_t* outO,
+                 uint8_t* outV, uint8_t* out_wc) {
+    memset(outL, 0, 32 * (size_t)n);
+    memset(outR, 0, 32 * (size_t)n);
+    memset(outO, 0, 32 * (size_t)n);
+    memset(outV, 0, 32 * (size_t)m);
+    memset(out_wc, 0, 32);
+    u64 zv[4], zm[4], zq[4];
+    load4(zv, z_le);
+    to_mont(zm, zv);
+    memcpy(zq, zm, 32);            // z^1 in Montgomery form
+    int cur_q = 0;
+    long big_i = 0;
+    u64 wc[4] = {0, 0, 0, 0};
+    for (long t = 0; t < n_terms; t++) {
+        while (cur_q < qs[t]) {
+            mont_mul(zq, zq, zm);
+            cur_q++;
+        }
+        u64 c[4];
+        uint8_t k = kinds[t];
+        if (k & 0x40) {
+            load4(c, big + 32 * big_i++);
+        } else {
+            c[0] = coeffs64[t]; c[1] = c[2] = c[3] = 0;
+        }
+        u64 w[4];
+        mont_mul(w, zq, c);        // zq(mont) * c(plain) = zq*c (plain)
+        bool neg = (k & 0x80) != 0;
+        uint8_t* slot = nullptr;
+        switch (k & 0x07) {
+            case 0: slot = outL + 32 * (size_t)idxs[t]; break;
+            case 1: slot = outR + 32 * (size_t)idxs[t]; break;
+            case 2: slot = outO + 32 * (size_t)idxs[t]; break;
+            case 3: slot = outV + 32 * (size_t)idxs[t]; neg = !neg; break;
+            default: slot = nullptr; break;    // constant term -> wc
+        }
+        if (slot) {
+            u64 acc[4];
+            load4(acc, slot);
+            if (neg) submod(acc, acc, w); else addmod(acc, acc, w);
+            store4(slot, acc);
+        } else {
+            if (neg) addmod(wc, wc, w); else submod(wc, wc, w);
+        }
+    }
+    store4(out_wc, wc);
+}
+
 // Montgomery-trick batch inversion; zero entries invert to zero
 void scl_batch_invert(const uint8_t* a, int n, uint8_t* out) {
     if (n <= 0) return;

@@ -140,44 +140,48 @@ def _chunk_precompute_star(args):
 
 def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
     """Worker: replay + weight + accumulate a chunk of txs.  Returns
-    (verified_txs, head_acc ([B_blinding, B] 2 ints), g_acc, h_acc,
-    dyn_scalars, dyn_point_eps).  The G and H generator-column sums are
-    kept as SEPARATE growable segments: per-tx static layouts are
-    [Bb, B] + G(padded_n) + H(padded_n) with padded_n varying per circuit
-    size, so positional accumulation into one flat vector would pair a
-    small tx's H scalars with the merged layout's G points.  Accumulating
-    the shared generator columns HERE keeps the pickled result ~50x
-    smaller than shipping per-tx jobs (and the RLC work parallel)."""
-    from ..vm.verifier import precompute_tx_split
+    (verified_txs, head_acc ([B_blinding, B] 2 ints), g_acc_buf, h_acc_buf
+    (raw ScalarVec bytes), dyn_scalars, dyn_point_eps).  The G and H
+    generator-column sums are kept as SEPARATE growable segments: per-tx
+    static layouts are [Bb, B] + G(padded_n) + H(padded_n) with padded_n
+    varying per circuit size, so positional accumulation into one flat
+    vector would pair a small tx's H scalars with the merged layout's G
+    points.  Accumulation is a native ScalarVec scale+add per tx (the
+    Python per-element loop was ~0.8 ms/tx); the pickled result stays ~50x
+    smaller than shipping per-tx jobs."""
+    from ..native import ScalarVec
+    from ..vm.verifier import precompute_tx_split_vec
 
     bp = _WORKER_GENS.get(caps)
     if bp is None:
         bp = _WORKER_GENS[caps] = BulletproofGens(caps[0], caps[1])
 
     head_acc: list[int] = [0, 0]
-    g_acc: list[int] = []
-    h_acc: list[int] = []
+    g_acc = h_acc = None                    # ScalarVec, grown as needed
     dyn_s: list[int] = []
     dyn_p: list[tuple] = []
     out = []
     for tb in txs_bytes:
-        vtx, ops, (ds, dp, ss, padded_n) = precompute_tx_split(
-            Tx.from_bytes(tb), bp)
+        vtx, ops, (ds, dp, bb, bs, g_v, h_v, padded_n) = \
+            precompute_tx_split_vec(Tx.from_bytes(tb), bp)
         out.append(vtx)
         wid = hashlib.sha3_256(tb).digest()
         r = _weight(entropy, wid, b"r1cs")
-        head_acc[0] += r * ss[0]
-        head_acc[1] += r * ss[1]
-        if len(g_acc) < padded_n:
-            g_acc += [0] * (padded_n - len(g_acc))
-            h_acc += [0] * (padded_n - len(h_acc))
-        for k in range(padded_n):
-            s = ss[2 + k]
-            if s:
-                g_acc[k] += r * s               # deferred mod
-            s = ss[2 + padded_n + k]
-            if s:
-                h_acc[k] += r * s
+        head_acc[0] += r * bb
+        head_acc[1] += r * bs
+        if g_acc is None:
+            g_acc, h_acc = g_v.scale(r), h_v.scale(r)
+        else:
+            if len(g_acc) < padded_n:
+                pad = b"\x00" * (32 * (padded_n - len(g_acc)))
+                g_acc = ScalarVec(g_acc.buf + pad, padded_n)
+                h_acc = ScalarVec(h_acc.buf + pad, padded_n)
+            elif padded_n < len(g_acc):
+                pad = b"\x00" * (32 * (len(g_acc) - padded_n))
+                g_v = ScalarVec(g_v.buf + pad, len(g_acc))
+                h_v = ScalarVec(h_v.buf + pad, len(h_acc))
+            g_acc = g_v.scale(r).add(g_acc)
+            h_acc = h_v.scale(r).add(h_acc)
         dyn_s.extend(r * s % L for s in ds)
         dyn_p.extend(p.ep for p in dp)
         for j, op in enumerate(ops):
@@ -186,11 +190,15 @@ def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
                 head_acc[1] += ro * op.primary
             if op.secondary is not None:
                 head_acc[0] += ro * op.secondary
-            for w, pbytes in op.arbitrary:
-                dyn_s.append(ro * (w % L) % L)
-                dyn_p.append(RistrettoPoint.decompress(pbytes).ep)
-    return (out, [v % L for v in head_acc], [v % L for v in g_acc],
-            [v % L for v in h_acc], dyn_s, dyn_p)
+            if op.arbitrary:
+                from ..oracle.ristretto import decompress_many
+                pts = decompress_many([p for _, p in op.arbitrary])
+                for (w, _), pt in zip(op.arbitrary, pts):
+                    dyn_s.append(ro * (w % L) % L)
+                    dyn_p.append(pt.ep)
+    return (out, [v % L for v in head_acc],
+            g_acc.buf if g_acc is not None else b"",
+            h_acc.buf if h_acc is not None else b"", dyn_s, dyn_p)
 
 
 def fused_verify_tx_batch(
@@ -239,38 +247,46 @@ def fused_verify_tx_batch(
         results = [_chunk_precompute(txs_bytes, caps, entropy)]
         order = [list(range(len(txs)))]
 
+    from ..native import ScalarVec
+
     verified: list[VerifiedTx] = [None] * len(txs)  # type: ignore
     head_acc: list[int] = [0, 0]
-    g_acc: list[int] = []
-    h_acc: list[int] = []
+    g_acc = h_acc = None
     dyn_s: list[int] = []
     dyn_eps: list[tuple] = []
-    for (vtxs, hd, ga, ha, ds, dps), idxs in zip(
+    for (vtxs, hd, ga_buf, ha_buf, ds, dps), idxs in zip(
             results, order, strict=False):
         for vtx, i in zip(vtxs, idxs, strict=True):
             verified[i] = vtx
         head_acc[0] += hd[0]
         head_acc[1] += hd[1]
-        if len(g_acc) < len(ga):
-            g_acc += [0] * (len(ga) - len(g_acc))
-            h_acc += [0] * (len(ha) - len(h_acc))
-        for k, v in enumerate(ga):
-            if v:
-                g_acc[k] += v
-        for k, v in enumerate(ha):
-            if v:
-                h_acc[k] += v
+        ga = ScalarVec(ga_buf, len(ga_buf) // 32)
+        ha = ScalarVec(ha_buf, len(ha_buf) // 32)
+        if g_acc is None:
+            g_acc, h_acc = ga, ha
+        else:
+            if len(g_acc) < len(ga):
+                pad = b"\x00" * (32 * (len(ga) - len(g_acc)))
+                g_acc = ScalarVec(g_acc.buf + pad, len(ga))
+                h_acc = ScalarVec(h_acc.buf + pad, len(ha))
+            elif len(ga) < len(g_acc):
+                pad = b"\x00" * (32 * (len(g_acc) - len(ga)))
+                ga = ScalarVec(ga.buf + pad, len(g_acc))
+                ha = ScalarVec(ha.buf + pad, len(h_acc))
+            g_acc = g_acc.add(ga)
+            h_acc = h_acc.add(ha)
         dyn_s.extend(ds)
         dyn_eps.extend(dps)
 
     pc = PedersenGens()
-    maxpad = len(g_acc)
+    maxpad = len(g_acc) if g_acc is not None else 0
     gens = bp_gens.share(0)
-    static_acc = head_acc + g_acc + h_acc
+    static_acc = ([v % L for v in head_acc]
+                  + (g_acc.to_ints() if g_acc is not None else [])
+                  + (h_acc.to_ints() if h_acc is not None else []))
     static_pts = [pc.B_blinding, pc.B] + gens.G(maxpad) + gens.H(maxpad)
     scalars, points = [], []
     for s, p in zip(static_acc, static_pts, strict=True):
-        s %= L
         if s:
             scalars.append(s)
             points.append(p)

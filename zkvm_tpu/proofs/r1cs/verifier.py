@@ -112,6 +112,19 @@ class Verifier:
         scalars over the SHARED static columns: returns
         (dyn_scalars, dyn_points, static_scalars, padded_n) with the static
         convention [B_blinding, B] + G(padded_n) + H(padded_n)."""
+        dyn_s, dyn_p, bb, bs, g_v, h_v, padded_n = \
+            self.verification_job_split_vec(proof, bp_gens, pc_gens)
+        return (dyn_s, dyn_p,
+                [bb, bs] + g_v.to_ints() + h_v.to_ints(), padded_n)
+
+    def verification_job_split_vec(
+        self, proof: R1CSProof, bp_gens: BulletproofGens, pc_gens: PedersenGens
+    ):
+        """verification_job_split with the G/H static-column scalars kept
+        as native ScalarVecs: (dyn_scalars, dyn_points, bb, bs, g_vec,
+        h_vec, padded_n).  Batch verifiers (parallel/tx_batch.py) weight
+        and accumulate the vectors with native AXPY passes instead of
+        padded_n-long Python loops (~0.8 ms/tx of the round-4 replay)."""
         ts = self.transcript
         ts.append_u64(b"m", self.num_v)
 
@@ -147,9 +160,19 @@ class Verifier:
         if bp_gens.gens_capacity < padded_n:
             raise R1CSError("invalid generators length")
 
-        wL, wR, wO, wV, wc = flatten_constraints(
-            self.constraints, z, n, self.num_v
-        )
+        # constraint flatten: one native per-z pass (scl_flatten) emitting
+        # the wire-weight vectors as packed ScalarVecs; the Python fold
+        # stays as the bit-exact ground truth (ZKVM_TPU_PY_FLATTEN=1)
+        import os as _os
+        nf = None
+        if not _os.environ.get("ZKVM_TPU_PY_FLATTEN"):
+            from ...native import flatten_constraints_vec
+            nf = flatten_constraints_vec(
+                self.constraints, z, n, self.num_v, pad)
+        if nf is None:
+            wL, wR, wO, wV, wc = flatten_constraints(
+                self.constraints, z, n, self.num_v
+            )
 
         for i in (1, 3, 4, 5, 6):
             ts.validate_and_append_point(
@@ -174,9 +197,12 @@ class Verifier:
         from ...native import ScalarVec
         y_inv = scalar.invert(y)
         sv_yinv = ScalarVec.powers(y_inv, padded_n)
-        sv_wL = ScalarVec.from_ints(wL + [0] * pad)
-        sv_wO = ScalarVec.from_ints(wO + [0] * pad)
-        sv_wR = ScalarVec.from_ints(wR + [0] * pad)
+        if nf is not None:
+            sv_wL, sv_wR, sv_wO, wV, wc = nf
+        else:
+            sv_wL = ScalarVec.from_ints(wL + [0] * pad)
+            sv_wO = ScalarVec.from_ints(wO + [0] * pad)
+            sv_wR = ScalarVec.from_ints(wR + [0] * pad)
         sv_s = ScalarVec.from_ints(s)
         # constant-shaped vectors by byte repetition (from_ints was
         # ~0.3 ms/tx of the batched tx replay)
@@ -194,9 +220,6 @@ class Verifier:
         # h_i = fac_i · (y^{-i}·(x·wL_i + wO_i − b·s_inv_i) − 1)
         h_v = (sv_wL.scale(x).add(sv_wO).sub(sv_s.reverse().scale(b))
                .mul(sv_yinv).sub(ones).mul(sv_fac))
-        g_scalars = g_v.to_ints()
-        h_scalars = h_v.to_ints()
-
         xx = x * x % L
         basepoint_scalar = (
             w * ((proof.t_x - a * b) % L)
@@ -220,22 +243,16 @@ class Verifier:
             + [c * xx % L * wVj % L for wVj in wV]          # V_j
             + list(u_sq) + list(u_inv_sq)                   # L_vec, R_vec
         )
-        dyn_points = (
-            [RistrettoPoint.decompress(p) for p in proof.points()]
-            + [RistrettoPoint.decompress(V) for V in self.V]
-            + [RistrettoPoint.decompress(x_) for x_ in proof.ipp_proof.L_vec]
-            + [RistrettoPoint.decompress(x_) for x_ in proof.ipp_proof.R_vec]
+        from ...oracle.ristretto import decompress_many
+        dyn_points = decompress_many(
+            list(proof.points()) + list(self.V)
+            + list(proof.ipp_proof.L_vec) + list(proof.ipp_proof.R_vec)
         )
-        # static tail: scalars over the SHARED columns
-        # [B_blinding, B] + G(padded_n) + H(padded_n) — batch verifiers
-        # accumulate these per-column across proofs (parallel/tx_batch.py)
-        static_scalars = (
-            [(-proof.e_blinding - c * proof.t_x_blinding) % L,  # B_blinding
-             basepoint_scalar]                                  # B
-            + g_scalars
-            + h_scalars
-        )
-        return dyn_scalars, dyn_points, static_scalars, padded_n
+        # static head + G/H column vectors: [B_blinding, B] + G + H —
+        # batch verifiers accumulate these per-column across proofs
+        bb = (-proof.e_blinding - c * proof.t_x_blinding) % L
+        return (dyn_scalars, dyn_points, bb, basepoint_scalar,
+                g_v, h_v, padded_n)
 
     def verification_job(
         self, proof: R1CSProof, bp_gens: BulletproofGens, pc_gens: PedersenGens

@@ -89,6 +89,15 @@ def precompute_tx_split(tx: Tx, bp_gens: BulletproofGens):
     return verified, point_ops, split
 
 
+def precompute_tx_split_vec(tx: Tx, bp_gens: BulletproofGens):
+    """precompute_tx_split with the static G/H column scalars kept as
+    native ScalarVecs (the tx-batch worker form): (VerifiedTx, point_ops,
+    (dyn_scalars, dyn_points, bb, bs, g_vec, h_vec, padded_n))."""
+    verified, point_ops, cs, proof, pc_gens = _replay_tx(tx, bp_gens)
+    split = cs.verification_job_split_vec(proof, bp_gens, pc_gens)
+    return verified, point_ops, split
+
+
 def verify_tx(tx: Tx, bp_gens: BulletproofGens) -> VerifiedTx:
     """Full single-tx verification (upstream Verifier::verify_tx)."""
     verified, point_ops, (scalars, points) = precompute_tx(tx, bp_gens)
