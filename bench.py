@@ -638,6 +638,22 @@ def _child_r1cs_scale():
         verify_iters.append((time.perf_counter() - t0) * 1e3)
     timed = verify_iters[1:] if len(verify_iters) > 1 else verify_iters
     verify_ms = sorted(timed)[len(timed) // 2]
+
+    # device-routed prove (ipp.py dispatches the IPP argument through
+    # kernels/ipp_device.py past JaxEngine.ipp_device_min_n): rebuild the
+    # circuit and prove again with the engine on-chip — reported as a
+    # labeled sibling, host prove stays the headline prove figure
+    prove_device_ms = None
+    if platform not in ("cpu",):
+        r2 = random.Random(3)
+        prover2 = Prover(pc, ProofTranscript(b"r1cs-scale"))
+        for _ in range(ng):
+            v = r2.randrange(1 << 64)
+            _, var = prover2.commit(v, r2.randrange(L))
+            range_proof_gadget(prover2, var, 64, v)
+        t0 = time.perf_counter()
+        prover2.prove(bp)
+        prove_device_ms = (time.perf_counter() - t0) * 1e3
     _emit({
         "mode": "r1cs_scale", "multipliers": met.multipliers,
         "constraints": met.constraints,
@@ -645,6 +661,7 @@ def _child_r1cs_scale():
         "phase_two_constraints": met.phase_two_constraints,
         "build_ms": build_ms, "prove_ms": prove_ms, "verify_ms": verify_ms,
         "verify_iters_ms": [round(t, 1) for t in verify_iters],
+        "prove_device_ms": prove_device_ms,
         "verify_platform": platform,
     })
 
@@ -1146,6 +1163,8 @@ def main():
             "verify_ms": round(d["verify_ms"], 1),
             "verify_platform": d.get("verify_platform", "cpu"),
             "verify_iters_ms": d.get("verify_iters_ms"),
+            "prove_device_ms": round(d["prove_device_ms"], 1)
+            if d.get("prove_device_ms") else None,
         }
         print(f"# r1cs 2^15 multipliers ({d['constraints']} constraints): "
               f"prove {d['prove_ms']:.0f} ms, verify {d['verify_ms']:.0f} ms"

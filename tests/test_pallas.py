@@ -66,3 +66,29 @@ def test_pallas_point_add_parity(rng):
         assert (gx[i] * e[2] - e[0] * gz[i]) % P == 0, i
         assert (gy[i] * e[2] - e[1] * gz[i]) % P == 0, i
         assert (gt[i] * gz[i] - gx[i] * gy[i]) % P == 0, i  # T invariant
+
+
+def test_vmem_sqr_matches_mul():
+    """_vmem_sqr (symmetric-product square) must agree with _vmem_mul(a,a)
+    in VALUE mod p on canonical and loose (negative-limb) inputs."""
+    import numpy as np
+
+    from zkvm_tpu.constants import P
+    from zkvm_tpu.kernels.limbs import int_to_limbs
+    from zkvm_tpu.kernels.pallas_field import _vmem_mul, _vmem_sqr
+
+    r = np.random.RandomState(9)
+    import random as _rnd
+    rr = _rnd.Random(9)
+    vals = [rr.randrange(P) for _ in range(8)]
+    a = np.stack([int_to_limbs(v) for v in vals]).T.astype(np.int32)
+    loose = a.copy()
+    loose[:, :4] -= 2          # negative-limb loose representation
+    for arr in (a, loose):
+        import jax.numpy as jnp
+        got = np.asarray(_vmem_sqr(jnp.asarray(arr)))
+        exp = np.asarray(_vmem_mul(jnp.asarray(arr), jnp.asarray(arr)))
+        for i in range(arr.shape[1]):
+            gv = sum(int(got[j, i]) << (13 * j) for j in range(got.shape[0]))
+            ev = sum(int(exp[j, i]) << (13 * j) for j in range(exp.shape[0]))
+            assert gv % P == ev % P

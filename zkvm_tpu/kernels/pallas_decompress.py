@@ -30,6 +30,7 @@ import numpy as np
 
 from ..constants import EDWARDS_D, LIMB_BITS, LIMB_MASK, NLIMBS, P, SQRT_M1
 from .limbs import int_to_limbs
+from .pallas_field import _vmem_sqr
 from .pallas_msm import _carry_tile, _vmem_mul
 
 try:
@@ -60,7 +61,7 @@ _CONSTS = np.concatenate(
 
 
 def _sqr(a):
-    return _vmem_mul(a, a)
+    return _vmem_sqr(a)
 
 
 def _pow2k(a, k: int):

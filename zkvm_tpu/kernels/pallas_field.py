@@ -59,6 +59,48 @@ def _vmem_mul(a, b):
     return r
 
 
+def _vmem_sqr(a):
+    """Field SQUARE on (NLIMBS, ...) VMEM blocks: the symmetric products
+    appear once and double (190 + 20 partial products vs the generic mul's
+    400), cutting ~45% of the VPU work in squaring-dominated chains — the
+    ristretto decode's ~254-step Fermat ladder is all squarings
+    (pallas_decompress._pow_p58; upstream curve25519-dalek field.rs
+    square / pow2k have the same specialization).
+
+    Overflow audit (int32 accumulators): loose inputs |a_j| <= ~2^13.1;
+    off-diagonal column sums have <= 10 terms -> |sum| <= 10 * 2^26.2 <
+    2^29.6, doubled < 2^30.6; diagonal adds one 2^26.2 term -> < 2^30.7 <
+    2^31.  (The generic mul's bound is 20 * 2^26.2 < 2^30.6 — same
+    regime.)"""
+    tail = [(0, 0)] * (a.ndim - 1)
+    width = 2 * NLIMBS - 1
+    off = None
+    for j in range(NLIMBS - 1):
+        prod = a[j + 1:] * a[j: j + 1]            # a_k * a_j, k > j
+        padded = jnp.pad(prod, [(2 * j + 1, NLIMBS - 1 - j)] + tail)
+        off = padded if off is None else off + padded
+    asq = a * a
+    # diagonal terms a_j^2 at even positions 2j: interleave with zeros
+    diag = jnp.stack([asq, jnp.zeros_like(asq)], axis=1).reshape(
+        (width + 1,) + a.shape[1:])[:width]
+    total = off + off + diag
+    high = total[NLIMBS:]
+    hi = high >> LIMB_BITS
+    lo = high & LIMB_MASK
+    r = (
+        total[:NLIMBS]
+        + jnp.pad(WRAP * lo, [(0, 1)] + tail)
+        + jnp.pad(WRAP * hi, [(1, 0)] + tail)
+    )
+    for _ in range(3):
+        hi = r >> LIMB_BITS
+        lo = r & LIMB_MASK
+        r = jnp.concatenate(
+            [lo[:1] + WRAP * hi[-1:], lo[1:] + hi[:-1]], axis=0
+        )
+    return r
+
+
 def _mul_kernel(a_ref, b_ref, o_ref):
     """(NLIMBS, T) x (NLIMBS, T) -> (NLIMBS, T), all resident in VMEM."""
     o_ref[:, :] = _vmem_mul(a_ref[:, :], b_ref[:, :])

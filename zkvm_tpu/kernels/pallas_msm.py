@@ -1157,14 +1157,16 @@ def msm_pallas(points: PointBatch, digits: jnp.ndarray, wbits: int,
 
 def _dbl_formula(p):
     """dbl-2008-hwcd (a=-1) on VMEM tiles; p is a 4-tuple of (NLIMBS, T)."""
+    from .pallas_field import _vmem_sqr
     X, Y, Z, T = p
     m = _vmem_mul
-    A = m(X, X)
-    B = m(Y, Y)
-    Zz = m(Z, Z)
+    sq = _vmem_sqr
+    A = sq(X)
+    B = sq(Y)
+    Zz = sq(Z)
     C = _carry_tile(Zz + Zz)
     xy = _carry_tile(X + Y)
-    E = _carry_tile(_carry_tile(m(xy, xy) - A) - B)
+    E = _carry_tile(_carry_tile(sq(xy) - A) - B)
     G = _carry_tile(B - A)
     F = _carry_tile(G - C)
     H = _carry_tile(-A - B)
