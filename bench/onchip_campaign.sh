@@ -1,36 +1,21 @@
 #!/bin/bash
-# On-chip measurement campaign: fired by bench/probe_loop.sh the moment the
-# axon tunnel answers (it has died for hours at a time mid-round; capture
-# early, persist everything — VERDICT r2 #1/#2/#5).  Each step is its own
-# process with a hard timeout; results persist via bench/onchip_ledger.json
-# and this log.  Steps, in value order:
-#   1. fused batch-verify at nb=256,1024 (the headline; ledger-recorded)
-#   2. MSM sweep 2^14/16/18 with parity (ledger-recorded)
-#   3. the 2^20 MSM point (BASELINE config 2 upper end)
-#   4. seq-pipeline tile sweep (scan-width lever, ROUND3-NOTES #3)
-cd /root/repo
-LOG=bench/onchip_campaign.log
-exec >> "$LOG" 2>&1
-echo "=== campaign start $(date +%F.%T) ==="
+# Round-5 on-chip campaign: run the moment the tunnel answers.  ONE
+# process at a time (concurrent chip users -> FAILED_PRECONDITION).
+# Order: cheap probe -> v5 MSM A/B -> fused-verify stage probe -> full
+# bench capture.  Every step under timeout; partial results persist.
+set -x
+cd "$(dirname "$0")/.."
 
-echo "--- step 1: batch verify (fused path) ---"
-BENCH_NB=256,1024 BENCH_ITERS=3 timeout 5400 python bench.py --onchip-now
+# 1) v5 stage A/B at 2^16 (compiles the new kernels; if Mosaic rejects
+#    them this fails fast and we flip the env defaults back)
+timeout 1800 python bench/stage_probe7.py 2>&1 | tee /tmp/probe7_16.log
 
-echo "--- step 2: msm sweep 14,16,18 ---"
-BENCH_SKIP_EFF=1 BENCH_NB= BENCH_SWEEP=14,16,18 timeout 5400 python bench.py
+# 2) 2^18 spot check of the winning combo
+timeout 1200 env MS_LOG_N=18 MS_ITERS=2 python bench/stage_probe7.py \
+    2>&1 | tee /tmp/probe7_18.log
 
-echo "--- step 3: 2^20 msm ---"
-BENCH_SKIP_EFF=1 BENCH_NB= BENCH_SWEEP=20 BENCH_ITERS=2 \
-  timeout 7200 python bench.py
+# 3) fused-verify stage breakdown (early upload + sqr + v5 effects)
+timeout 1200 python bench/fused_stage_probe.py 2>&1 | tee /tmp/fsp.log
 
-echo "--- step 4: seq tile sweep at 2^16 ---"
-timeout 5400 python bench/seq_sweep.py
-
-echo "--- step 5: batch verify, host-decompress variant (comparison) ---"
-BENCH_HOST_DECOMP=1 BENCH_NB=256 BENCH_ITERS=3 \
-  timeout 3600 python bench.py --onchip-now
-
-echo "--- step 6: msm stage profile at 2^16 ---"
-timeout 3600 python bench/msm_stages.py
-
-echo "=== campaign done $(date +%F.%T) ==="
+# 4) full bench capture (inline sweep rides the warm batch child)
+timeout 2400 python bench.py 2>&1 | tee /tmp/bench_r5.log
