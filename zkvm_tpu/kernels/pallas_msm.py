@@ -656,8 +656,10 @@ def sort_rows_device(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     sort to the tail and are sliced off); rows pad to the sublane block."""
     R, n = x.shape
     npad = 1 << max(n - 1, 1).bit_length()
-    # VMEM budget: ~4 live (rb, npad) int32 arrays
-    rb = max(1, min(8, (1 << 19) // npad))
+    # VMEM budget: ~5 live (rb, npad) int32 arrays (v, two rolls, partner,
+    # lane iota) + Pallas's double-buffered in/out blocks — keep the block
+    # itself <= 1 MB so the worst case stays well under the 16 MB scope
+    rb = max(1, min(8, (1 << 18) // npad))
     rpad = -(-R // rb) * rb
     xp = jnp.pad(x, ((0, rpad - R), (0, npad - n)),
                  constant_values=np.int32(2**31 - 1))
