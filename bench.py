@@ -903,13 +903,36 @@ def _run_child(mode: str, arg: str = "", extra_env=None, timeout=None,
 
 
 def _child_probe():
-    """Tiny device op proving the chip is reachable."""
+    """Tiny device op proving the chip is reachable, plus a compile probe
+    of the round-5 Pallas MSM frontend (bitonic sort + dynamic-gather +
+    words scan).  If Mosaic rejects those kernels on the real chip, the
+    parent flips ZKVM_MSM_SORT/GATHER to xla for every later child so the
+    bench still captures with the proven v4 pipeline."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
     _materialize(x)
-    _emit({"mode": "probe", "platform": jax.devices()[0].platform})
+    v5_ok = None
+    if jax.devices()[0].platform in ("tpu", "axon") and not (
+            os.environ.get("ZKVM_MSM_SORT") == "xla"
+            and os.environ.get("ZKVM_MSM_GATHER") == "xla"):
+        try:
+            from zkvm_tpu.kernels import pallas_msm as pm
+            n = pm.SEQ_LANES * pm.SEQ_BLOCK
+            pts = pm.identity_lm((n,))
+            digits = (jnp.arange(n * 20, dtype=jnp.int32).reshape(n, 20)
+                      % 8191) - 4095
+            out = np.asarray(
+                pm.window_totals_packed(pts, digits, 13, False))
+            # identity inputs -> identity totals: y == z (projective)
+            v5_ok = bool(out.shape[0] == 4)
+        except Exception as e:  # Mosaic lowering / compile failure
+            print(f"# v5 probe failed: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
+            v5_ok = False
+    _emit({"mode": "probe", "platform": jax.devices()[0].platform,
+           "v5_ok": v5_ok})
 
 
 def main():
@@ -994,12 +1017,22 @@ def main():
     # the axon tunnel can die outright (observed mid-round-2: connection
     # refused, then hangs); probe once with a short timeout instead of
     # letting every device child burn its full attempt timeout
-    probe = _run_child("probe", timeout=300)
+    probe = _run_child(
+        "probe",
+        timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "420")))
     device_ok = bool(probe) and probe.get("platform") in ("tpu", "axon")
     if not device_ok:
         print("# device probe failed: skipping device children",
               file=sys.stderr)
         os.environ["BENCH_SKIP_SWEEP"] = "1"
+    elif probe.get("v5_ok") is False:
+        # the round-5 Pallas frontend failed to compile on the real chip:
+        # pin every later child to the proven v4 XLA sort/gather stages
+        print("# v5 MSM frontend failed to compile: falling back to "
+              "ZKVM_MSM_SORT=xla ZKVM_MSM_GATHER=xla", file=sys.stderr)
+        os.environ["ZKVM_MSM_SORT"] = "xla"
+        os.environ["ZKVM_MSM_GATHER"] = "xla"
+        out["v5_fallback"] = True
 
     # 1) end-to-end batched verification — THE headline, so it runs first.
     # The LARGEST batch child also carries the MSM sweep inline (task 1:
