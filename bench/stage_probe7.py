@@ -31,6 +31,11 @@ import jax
 
 if os.environ.get("MS_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MS_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import jax.numpy as jnp
 

@@ -627,26 +627,53 @@ def _weighted_fold_seq(buckets: PointBatch, interpret: bool) -> PointBatch:
 # interpret).  Parity: tests/test_pallas_msm.py runs both combinations.
 
 def _bitonic_kernel(n: int):
-    """Ascending bitonic sort of each sublane row of a (RB, n) int32 block
-    (n a power of two, values nonnegative).  Partner exchange rides two
-    static lane rolls + a select; ~sum(lg n) stages unroll statically."""
+    """Ascending bitonic sort of one window row held as a (1, n//128, 128)
+    int32 block (n a power of two >= 128, values nonnegative), flat index
+    i = 128*row + lane.
+
+    Two hardware-shaped choices (both measured on-chip 2026-08-20):
+    * the row is RESHAPED to (n//128, 128) so every vreg tile is fully
+      populated — a flat (1, n) row lays out as T(1,128) with 7/8 of each
+      tile's sublanes wasted, 8x-ing every temp;
+    * each compare-exchange stage loads from and stores to o_ref, so
+      Mosaic's stack allocator sees one stage of temps live at a time (the
+      fully-unrolled network allocated 46 MB of scoped VMEM at 2^16).
+
+    Exchange semantics are XOR (partner of i is i ^ stride), so a stride
+    < 128 pairs lanes within a row (two lane-axis rolls + select) and a
+    stride >= 128 pairs rows (two sublane-axis rolls + select) — every
+    shift static."""
+    rows = n // 128
+
     def kernel(x_ref, o_ref):
-        v = x_ref[...]
-        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        o_ref[...] = x_ref[...]
+        shape = x_ref.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         size = 2
         while size <= n:
             stride = size // 2
             while stride >= 1:
-                up = pltpu.roll(v, n - stride, 1)  # up[i] = v[i+stride]
-                dn = pltpu.roll(v, stride, 1)      # dn[i] = v[i-stride]
-                lower = (lane & stride) == 0
+                v = o_ref[...]
+                if stride >= 128:
+                    rs = stride // 128
+                    up = pltpu.roll(v, rows - rs, 1)  # up[r] = v[r+rs]
+                    dn = pltpu.roll(v, rs, 1)         # dn[r] = v[r-rs]
+                    lower = (row & rs) == 0
+                else:
+                    up = pltpu.roll(v, 128 - stride, 2)
+                    dn = pltpu.roll(v, stride, 2)
+                    lower = (lane & stride) == 0
+                if size >= 128:
+                    asc = (row & (size // 128)) == 0
+                else:
+                    asc = (lane & size) == 0
                 partner = jnp.where(lower, up, dn)
-                take_min = lower == ((lane & size) == 0)
-                v = jnp.where(take_min, jnp.minimum(v, partner),
-                              jnp.maximum(v, partner))
+                take_min = lower == asc
+                o_ref[...] = jnp.where(take_min, jnp.minimum(v, partner),
+                                       jnp.maximum(v, partner))
                 stride //= 2
             size *= 2
-        o_ref[...] = v
     return kernel
 
 
@@ -655,34 +682,36 @@ def sort_rows_device(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     Columns pad to the next power of two with int32-max sentinels (they
     sort to the tail and are sliced off); rows pad to the sublane block."""
     R, n = x.shape
-    npad = 1 << max(n - 1, 1).bit_length()
-    # VMEM budget: ~5 live (rb, npad) int32 arrays (v, two rolls, partner,
-    # lane iota) + Pallas's double-buffered in/out blocks — keep the block
-    # itself <= 1 MB so the worst case stays well under the 16 MB scope
-    rb = max(1, min(8, (1 << 18) // npad))
-    rpad = -(-R // rb) * rb
-    xp = jnp.pad(x, ((0, rpad - R), (0, npad - n)),
-                 constant_values=np.int32(2**31 - 1))
-    spec = pl.BlockSpec((rb, npad), lambda r: (r, 0),
+    npad = 1 << max(max(n - 1, 1).bit_length(), 7)   # >= one 128-lane tile
+    if npad > (1 << 18):
+        # a (npad//128, 128) row block is 4 MB at 2^20; with one stage of
+        # network temps + double-buffered I/O that exceeds the ~16 MB VMEM
+        # scope, so the whole-row-in-VMEM design stops here
+        return jax.lax.sort(x, dimension=1)
+    rows = npad // 128
+    xp = jnp.pad(x, ((0, 0), (0, npad - n)),
+                 constant_values=np.int32(2**31 - 1)).reshape(R, rows, 128)
+    spec = pl.BlockSpec((1, rows, 128), lambda r: (r, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _bitonic_kernel(npad),
-        grid=(rpad // rb,),
-        out_shape=jax.ShapeDtypeStruct((rpad, npad), jnp.int32),
+        grid=(R,),
+        out_shape=jax.ShapeDtypeStruct((R, rows, 128), jnp.int32),
         in_specs=[spec],
         out_specs=spec,
         interpret=interpret,
     )(xp)
-    return out[:R, :n]
+    return out.reshape(R, npad)[:, :n]
 
 
 def _use_pallas_stage(env_name: str, interpret: bool) -> bool:
-    v = _os.environ.get(env_name, "")
-    if v == "pallas":
-        return True
-    if v == "xla":
-        return False
-    return not interpret
+    """Per-stage impl pick.  Default is XLA for both stages: on-chip A/B
+    2026-08-20 measured the Pallas bitonic sort at 186 ms vs XLA's 27 ms
+    at (20, 2^16) (cross-vreg rolls + per-stage VMEM round-trips), and
+    Mosaic cannot lower the wide dynamic gather at all ("Multiple source
+    vregs along gather dimension"), so pallas here is opt-in for probes."""
+    del interpret
+    return _os.environ.get(env_name, "") == "pallas"
 
 
 def _sort_rows(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
@@ -726,27 +755,54 @@ def gather_rows_words(src: jnp.ndarray, perm: jnp.ndarray,
     gather); the source chunk stays resident across the window axis."""
     S, n = src.shape
     nwg = perm.shape[0]
-    cb = 8 if n <= (1 << 16) else 4
+    # Mosaic's block-alignment rule: a 2D block height must be a multiple
+    # of 8 or the full dim, and any trailing (1, n) block needs a matching
+    # size-1 ARRAY dim (measured on-chip 2026-08-20) — hence the [:, None]
+    # views.  Keep the source chunk <= 2 MB of VMEM.
+    cb = 8 if n <= (1 << 16) else 1
     assert S % cb == 0, (S, cb)
-    sspec = pl.BlockSpec((cb, n), lambda c, w: (c, 0),
+    perm3 = perm[:, None, :]                              # (nwg, 1, n)
+    pspec = pl.BlockSpec((1, 1, n), lambda c, w: (w, 0, 0),
                          memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((1, n), lambda c, w: (w, 0),
+    if cb == 8:
+        sspec = pl.BlockSpec((cb, n), lambda c, w: (c, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, cb, n), lambda c, w: (w, c, 0),
+                             memory_space=pltpu.VMEM)
+
+        def kernel(s_ref, p_ref, o_ref):
+            idx = jnp.broadcast_to(p_ref[0], (cb, n))
+            o_ref[0] = jnp.take_along_axis(s_ref[...], idx, axis=1)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(S // cb, nwg),
+            out_shape=jax.ShapeDtypeStruct((nwg, S, n), jnp.int32),
+            in_specs=[sspec, pspec],
+            out_specs=ospec,
+            interpret=interpret,
+        )(src, perm3)
+
+    # single-row blocks: 3D/4D views give every block trailing dims that
+    # exactly match the array's trailing dims
+    src3 = src[:, None, :]                                # (S, 1, n)
+    sspec = pl.BlockSpec((1, 1, n), lambda c, w: (c, 0, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, cb, n), lambda c, w: (w, c, 0),
+    ospec = pl.BlockSpec((1, 1, 1, n), lambda c, w: (w, c, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    def kernel(s_ref, p_ref, o_ref):
-        idx = jnp.broadcast_to(p_ref[...], (cb, n))
-        o_ref[0] = jnp.take_along_axis(s_ref[...], idx, axis=1)
+    def kernel1(s_ref, p_ref, o_ref):
+        o_ref[0, 0] = jnp.take_along_axis(s_ref[0], p_ref[0], axis=1)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(S // cb, nwg),
-        out_shape=jax.ShapeDtypeStruct((nwg, S, n), jnp.int32),
+    out = pl.pallas_call(
+        kernel1,
+        grid=(S, nwg),
+        out_shape=jax.ShapeDtypeStruct((nwg, S, 1, n), jnp.int32),
         in_specs=[sspec, pspec],
         out_specs=ospec,
         interpret=interpret,
-    )(src, perm)
+    )(src3, perm3)
+    return out[:, :, 0, :]
 
 
 def _decode_coord_tile(words: jnp.ndarray) -> jnp.ndarray:
@@ -849,7 +905,10 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
 
     dT = digits.T                                      # (nw, n)
 
-    use_wgather = _use_pallas_stage("ZKVM_MSM_GATHER", interpret)
+    # past 2^18 lanes a single source/output row is >= 4 MB and the
+    # VMEM-resident gather no longer fits its scope — XLA path instead
+    use_wgather = (_use_pallas_stage("ZKVM_MSM_GATHER", interpret)
+                   and n <= (1 << 18))
     if use_wgather:
         # canonical u32 word planes, VMEM-resident source for the Pallas
         # gather: 128 B/point vs 320 B limb rows, decoded back to limbs
