@@ -910,6 +910,7 @@ def _child_probe():
     bench still captures with the proven v4 pipeline."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
     _materialize(x)

@@ -883,6 +883,153 @@ def _seq_segmented_scan_words(words: jnp.ndarray, flags: jnp.ndarray,
     return PointBatch(*out)
 
 
+# ---------------------------------------------------- affine gather variant
+# The XLA permutation gather is op-bound per gathered ELEMENT (round-4 s4:
+# words rows 31.9 ms vs limb rows 28.8 ms at 2^16 — byte width is not the
+# cost), so the lever is fewer elements per point: batch-normalize the MSM
+# points to AFFINE once (Montgomery-trick prefix/suffix products + ONE
+# Fermat inversion — upstream counterpart FieldElement::batch_invert,
+# curve25519-dalek field.rs) and gather 16 canonical u32 words per point
+# (x, y) instead of 80 limb words.  The scan kernel rebuilds T2 = x*y in
+# VMEM (that product doubles as the segment-start reset value, so the
+# mixed add-2008-hwcd-3 formula with Z2=1 keeps the same 9-mul count as
+# the extended add).  Env: ZKVM_MSM_AFFINE=1/0 overrides the default
+# (on for n >= 2^14 where the gather dominates; the normalization's ~6n
+# extra field muls outweigh the gather savings at small n).
+
+def mul_lm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Field mul with limbs on axis 0 (XLA-level twin of field.mul; the
+    VMEM twin is pallas_field._vmem_mul).  Same bound contract as
+    field.mul: <= 14-bit inputs, <= 14-bit output."""
+    nd = a.ndim - 1
+    total = None
+    for j in range(NLIMBS):
+        p = a * b[j: j + 1]
+        padded = jnp.pad(p, [(j, NLIMBS - 1 - j)] + [(0, 0)] * nd)
+        total = padded if total is None else total + padded
+    high = total[NLIMBS:]
+    hi = high >> LIMB_BITS
+    lo = high & LIMB_MASK
+    r = (total[:NLIMBS]
+         + jnp.pad(WRAP * lo, [(0, 1)] + [(0, 0)] * nd)
+         + jnp.pad(WRAP * hi, [(1, 0)] + [(0, 0)] * nd))
+    return carry_lm(carry_lm(carry_lm(r)))
+
+
+def batch_zinv_lm(z: jnp.ndarray) -> jnp.ndarray:
+    """Batched field inversion of (NLIMBS, n) via the Montgomery trick:
+    tree prefix/suffix products (~4n muls), ONE 254-squaring Fermat chain
+    on the grand product, then zinv_i = prefix_{i-1} * suffix_{i+1} *
+    total^-1 (~2n muls).  Requires every z nonzero (true for all valid
+    extended Edwards coordinates)."""
+    from . import field as F
+
+    z = carry_lm(z)
+    pre = jax.lax.associative_scan(mul_lm, z, axis=1)
+    suf = jax.lax.associative_scan(mul_lm, z, axis=1, reverse=True)
+    total = pre[:, -1:]
+    tinv = jnp.moveaxis(F.invert(jnp.moveaxis(total, 0, -1)), -1, 0)
+    one = (jax.lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0)
+           == 0).astype(jnp.int32)
+    pre_ex = jnp.concatenate([one, pre[:, :-1]], axis=1)
+    suf_ex = jnp.concatenate([suf[:, 1:], one], axis=1)
+    return mul_lm(mul_lm(pre_ex, suf_ex), jnp.broadcast_to(tinv, z.shape))
+
+
+def to_affine_words(points: PointBatch) -> jnp.ndarray:
+    """(NLIMBS, n) extended coords -> (16, n) canonical little-endian u32
+    words of the affine (x, y) = (X/Z, Y/Z)."""
+    zinv = batch_zinv_lm(points.z)
+    x = mul_lm(carry_lm(points.x), zinv)
+    y = mul_lm(carry_lm(points.y), zinv)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            encode_words_lm(normalize_lm(c)), jnp.int32)
+        for c in (x, y)
+    ])
+
+
+def _seq_scan_awords_kernel(pw, f_ref, d2_ref,
+                            ox, oy, oz, ot, cx, cy, cz, ct):
+    """_seq_scan_words_kernel twin for AFFINE (16, ...) word blocks: mixed
+    add (Z2=1, D = 2*Z1 free) with T2 = x*y rebuilt in VMEM — the same
+    product is the reset value's T coordinate, so segment starts cost
+    nothing extra."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        ix, iy, iz, it = _identity_planes(cx.shape[1:])
+        cx[...], cy[...], cz[...], ct[...] = ix, iy, iz, it
+
+    carry = (cx[...], cy[...], cz[...], ct[...])
+    d2 = d2_ref[...]
+    m = _vmem_mul
+    for k in range(SEQ_BLOCK):
+        w = pw[:, 0, k, :]                        # (16, T)
+        x = _decode_coord_tile(w[0:8])
+        y = _decode_coord_tile(w[8:16])
+        f = f_ref[:, 0, k, :]                     # (1, T)
+        xy = m(x, y)
+        sgn = (f & 2) != 0
+        x = jnp.where(sgn, _carry_tile(-x), x)
+        xy = jnp.where(sgn, _carry_tile(-xy), xy)
+        X1, Y1, Z1, T1 = carry
+        A = m(_carry_tile(Y1 - X1), _carry_tile(y - x))
+        B = m(_carry_tile(Y1 + X1), _carry_tile(y + x))
+        C = m(m(T1, d2), xy)
+        D = _carry_tile(Z1 + Z1)
+        E = _carry_tile(B - A)
+        F = _carry_tile(D - C)
+        G = _carry_tile(D + C)
+        H = _carry_tile(B + A)
+        s = (m(E, F), m(G, H), m(F, G), m(E, H))
+        one = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+               == 0).astype(jnp.int32)
+        p = (x, y, one, xy)
+        keep = (f & 1) != 0
+        run = tuple(jnp.where(keep, pc, sc) for pc, sc in zip(p, s))
+        ox[:, 0, k, :], oy[:, 0, k, :], oz[:, 0, k, :], ot[:, 0, k, :] = run
+        carry = run
+    cx[...], cy[...], cz[...], ct[...] = carry
+
+
+def _seq_segmented_scan_awords(words: jnp.ndarray, flags: jnp.ndarray,
+                               interpret: bool) -> PointBatch:
+    """words: (16, nw, K, M) affine (x, y) word blocks in lane-run layout;
+    flags as in _seq_segmented_scan_words.  Returns running segment values
+    (NLIMBS, nw, K, M) in extended coordinates."""
+    _, nw, K, M = words.shape
+    assert K % SEQ_BLOCK == 0 and M % SCAN_TILE == 0, (K, M)
+    wspec = pl.BlockSpec((16, 1, SEQ_BLOCK, SCAN_TILE),
+                         lambda w, m, k: (0, w, k, m),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, 1, SEQ_BLOCK, SCAN_TILE),
+                         lambda w, m, k: (0, w, k, m),
+                         memory_space=pltpu.VMEM)
+    d2spec = pl.BlockSpec((NLIMBS, SCAN_TILE), lambda w, m, k: (0, 0),
+                          memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((NLIMBS, nw, K, M), jnp.int32)
+    out = pl.pallas_call(
+        _seq_scan_awords_kernel,
+        out_shape=(shp,) * 4,
+        grid=(nw, M // SCAN_TILE, K // SEQ_BLOCK),
+        in_specs=[wspec, fspec, d2spec],
+        out_specs=(pl.BlockSpec((NLIMBS, 1, SEQ_BLOCK, SCAN_TILE),
+                                lambda w, m, k: (0, w, k, m),
+                                memory_space=pltpu.VMEM),) * 4,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, SCAN_TILE), jnp.int32)] * 4,
+        interpret=interpret,
+    )(words, flags, jnp.asarray(_D2_TILE[:, :SCAN_TILE]))
+    return PointBatch(*out)
+
+
+def _use_affine_gather(n: int, interpret: bool) -> bool:
+    v = _os.environ.get("ZKVM_MSM_AFFINE", "")
+    if v in ("1", "0"):
+        return v == "1"
+    del interpret
+    return n >= (1 << 14)
+
+
 def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
                        interpret: bool) -> PointBatch:
     """Sequential-chunk bucket pipeline; requires n % (SEQ_LANES *
@@ -909,7 +1056,12 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
     # VMEM-resident gather no longer fits its scope — XLA path instead
     use_wgather = (_use_pallas_stage("ZKVM_MSM_GATHER", interpret)
                    and n <= (1 << 18))
-    if use_wgather:
+    use_affine = (not use_wgather) and _use_affine_gather(n, interpret)
+    if use_affine:
+        # 16 canonical u32 words per point: one batched affine
+        # normalization up front, 5x fewer gathered elements per window
+        src_affine = to_affine_words(points)              # (16, n) int32
+    elif use_wgather:
         # canonical u32 word planes, VMEM-resident source for the Pallas
         # gather: 128 B/point vs 320 B limb rows, decoded back to limbs
         # inside the scan kernel
@@ -957,7 +1109,11 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             return a.reshape(nwg, M, K).transpose(0, 2, 1)
 
         start_l = lr(start).astype(jnp.int32)
-        if use_wgather:
+        if use_affine:
+            g = jnp.take(src_affine, lr(perm), axis=1)  # (16, nwg, K, M)
+            flags = start_l | (lr(sorted_sign).astype(jnp.int32) << 1)
+            scanned = _seq_segmented_scan_awords(g, flags[None], interpret)
+        elif use_wgather:
             g = gather_rows_words(src_words, perm, interpret)  # (nwg,32,n)
             gw = jnp.transpose(g.reshape(nwg, 32, M, K), (1, 0, 3, 2))
             flags = start_l | (lr(sorted_sign).astype(jnp.int32) << 1)
