@@ -371,6 +371,61 @@ def batch_msm_check(static_words: jnp.ndarray,
     return (ok & ident).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def txbatch_msm_check(static_words: jnp.ndarray,    # (4, 8, S) u32 resident
+                      dyn_enc_words: jnp.ndarray,   # (8, D) u32 encodings
+                      static_sc_words: jnp.ndarray,  # (S, 8) u32 scalars
+                      dyn_sc_words: jnp.ndarray,     # (D, 8) u32 scalars
+                      wbits: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused full-tx-batch mega-check (parallel/tx_batch.py device path):
+    scalars arrive as packed 32-byte words straight out of the native
+    ScalarVec accumulators (no Python per-element conversion), dynamic
+    points as raw 32-byte encodings decoded by the Pallas decompress
+    kernel, static generators from the device-resident cache.  One
+    dispatch, one int32 back (1 = batch accepts).  Upstream counterpart:
+    verifier.rs + PointOp::verify_batch's single vartime MSM [SURVEY
+    §3.4]."""
+    from .msm import num_windows
+    from .pallas_decompress import decompress_points
+    from .pallas_msm import (_combine_check_core, identity_lm,
+                             recode_digits_device)
+
+    scalars = jnp.concatenate([
+        sm.decode_words_last(static_sc_words.astype(jnp.uint32)),
+        sm.decode_words_last(dyn_sc_words.astype(jnp.uint32)),
+    ], axis=0)                                      # (S+D, NLIMBS)
+    if wbits == 13:
+        digits = sm.signed_digits13(scalars)
+    else:
+        words = sm.digits_to_words(sm.partial_reduce_digits(scalars))
+        digits = recode_digits_device(words.T, wbits, num_windows(wbits))
+
+    coords, ok_vec = decompress_points(dyn_enc_words, interpret)
+    ok = jnp.min(ok_vec)
+    pts = PointBatch(*(
+        jnp.concatenate([decode_words_lm(static_words[i]), coords[i]],
+                        axis=1)
+        for i in range(4)
+    ))
+    total = static_words.shape[2] + dyn_enc_words.shape[1]
+    size = _padded_size(total)
+    if size != total:
+        pad = size - total
+        ident = identity_lm((pad,))
+        pts = PointBatch(
+            jnp.concatenate([pts.x, ident.x], axis=1),
+            jnp.concatenate([pts.y, ident.y], axis=1),
+            jnp.concatenate([pts.z, ident.z], axis=1),
+            jnp.concatenate([pts.t, ident.t], axis=1),
+        )
+        digits = jnp.pad(digits, [(0, pad), (0, 0)])
+    t = window_totals(pts, digits, wbits, interpret)
+    packed = jnp.stack([t.x, t.y, t.z, t.t])
+    ident_ok = _combine_check_core(packed, wbits)
+    return (ok & ident_ok).astype(jnp.int32)
+
+
 def _use_dev_combine(interpret: bool) -> bool:
     """Device combine default: on for real-device runs, host combine in
     interpret mode (the host path stays the ground truth the tests pin)."""

@@ -1023,11 +1023,13 @@ def _seq_segmented_scan_awords(words: jnp.ndarray, flags: jnp.ndarray,
 
 
 def _use_affine_gather(n: int, interpret: bool) -> bool:
-    v = _os.environ.get("ZKVM_MSM_AFFINE", "")
-    if v in ("1", "0"):
-        return v == "1"
-    del interpret
-    return n >= (1 << 14)
+    """Opt-in (ZKVM_MSM_AFFINE=1): on-chip A/B 2026-08-20 measured the
+    affine variant at 71.0 ms vs 65.8 ms extended at 2^16 w=13 — the XLA
+    gather is bound by gather POSITIONS, not row bytes (32-word rows had
+    already measured the same as 80-word rows in round 4), so the 5x
+    narrower rows buy nothing and the batch normalization adds ~5 ms."""
+    del n, interpret
+    return _os.environ.get("ZKVM_MSM_AFFINE", "") == "1"
 
 
 def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,

@@ -138,17 +138,23 @@ def _chunk_precompute_star(args):
     return _chunk_precompute(*args)
 
 
-def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
+def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes,
+                      enc_mode: bool = False):
     """Worker: replay + weight + accumulate a chunk of txs.  Returns
     (verified_txs, head_acc ([B_blinding, B] 2 ints), g_acc_buf, h_acc_buf
-    (raw ScalarVec bytes), dyn_scalars, dyn_point_eps).  The G and H
+    (raw ScalarVec bytes), dyn_scalars, dyn_points).  The G and H
     generator-column sums are kept as SEPARATE growable segments: per-tx
     static layouts are [Bb, B] + G(padded_n) + H(padded_n) with padded_n
     varying per circuit size, so positional accumulation into one flat
     vector would pair a small tx's H scalars with the merged layout's G
     points.  Accumulation is a native ScalarVec scale+add per tx (the
     Python per-element loop was ~0.8 ms/tx); the pickled result stays ~50x
-    smaller than shipping per-tx jobs."""
+    smaller than shipping per-tx jobs.
+
+    enc_mode: dyn_points come back as ONE bytes blob of raw 32-byte
+    encodings (no host decompress at all — the device decode validates
+    them; kernels/batch_verify_device.txbatch_msm_check), else as a list
+    of extended-coordinate tuples for the host engine."""
     from ..native import ScalarVec
     from ..vm.verifier import precompute_tx_split_vec
 
@@ -160,10 +166,12 @@ def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
     g_acc = h_acc = None                    # ScalarVec, grown as needed
     dyn_s: list[int] = []
     dyn_p: list[tuple] = []
+    dyn_enc: list[bytes] = []
     out = []
     for tb in txs_bytes:
         vtx, ops, (ds, dp, bb, bs, g_v, h_v, padded_n) = \
-            precompute_tx_split_vec(Tx.from_bytes(tb), bp)
+            precompute_tx_split_vec(Tx.from_bytes(tb), bp,
+                                    decompress_dyn=not enc_mode)
         out.append(vtx)
         wid = hashlib.sha3_256(tb).digest()
         r = _weight(entropy, wid, b"r1cs")
@@ -183,7 +191,10 @@ def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
             g_acc = g_v.scale(r).add(g_acc)
             h_acc = h_v.scale(r).add(h_acc)
         dyn_s.extend(r * s % L for s in ds)
-        dyn_p.extend(p.ep for p in dp)
+        if enc_mode:
+            dyn_enc.extend(dp)
+        else:
+            dyn_p.extend(p.ep for p in dp)
         for j, op in enumerate(ops):
             ro = _weight(entropy, wid, b"op", j)
             if op.primary is not None:
@@ -191,14 +202,75 @@ def _chunk_precompute(txs_bytes: list[bytes], caps, entropy: bytes):
             if op.secondary is not None:
                 head_acc[0] += ro * op.secondary
             if op.arbitrary:
-                from ..oracle.ristretto import decompress_many
-                pts = decompress_many([p for _, p in op.arbitrary])
-                for (w, _), pt in zip(op.arbitrary, pts):
-                    dyn_s.append(ro * (w % L) % L)
-                    dyn_p.append(pt.ep)
+                if enc_mode:
+                    for w, pbytes in op.arbitrary:
+                        dyn_s.append(ro * (w % L) % L)
+                        dyn_enc.append(pbytes)
+                else:
+                    from ..oracle.ristretto import decompress_many
+                    pts = decompress_many([p for _, p in op.arbitrary])
+                    for (w, _), pt in zip(op.arbitrary, pts):
+                        dyn_s.append(ro * (w % L) % L)
+                        dyn_p.append(pt.ep)
     return (out, [v % L for v in head_acc],
             g_acc.buf if g_acc is not None else b"",
-            h_acc.buf if h_acc is not None else b"", dyn_s, dyn_p)
+            h_acc.buf if h_acc is not None else b"", dyn_s,
+            b"".join(dyn_enc) if enc_mode else dyn_p)
+
+
+def _device_mode() -> bool:
+    """Use the fused device mega-check (resident static gens + on-device
+    decompress + packed-scalar upload) when the engine is the JAX engine
+    on a real chip; ZKVM_TX_DEVICE=1/0 overrides (1 with a CPU backend
+    runs the same graph in interpret mode — the parity-test hook)."""
+    v = os.environ.get("ZKVM_TX_DEVICE")
+    if v in ("0", "1"):
+        return v == "1"
+    try:
+        import jax
+
+        from ..kernels.engine import JaxEngine
+        from ..proofs.engine import get_engine
+        return (isinstance(get_engine(), JaxEngine)
+                and jax.default_backend() in ("tpu", "axon"))
+    except Exception:
+        return False
+
+
+def _fused_device_check(static_buf: bytes, dyn_s: list[int],
+                        dyn_enc_blob: bytes, bp_gens) -> bool:
+    """One fused device dispatch for the whole tx batch: static scalars
+    arrive as the ScalarVec accumulator bytes verbatim, dynamic points as
+    raw 32-byte encodings (device decode), dynamic scalars via one native
+    pack.  D pads to a power of two so the compile caches per bucket."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..constants import L as _L
+    from ..kernels.batch_verify_device import (static_gens_words,
+                                               txbatch_msm_check)
+    from ..native import ScalarVec
+
+    pc = PedersenGens()
+    S = len(static_buf) // 32
+    maxpad = (S - 2) // 2
+    sw = static_gens_words(bp_gens, pc, maxpad, 1)
+    static_sc = np.frombuffer(static_buf, np.uint32).reshape(S, 8)
+    D = len(dyn_s)
+    assert len(dyn_enc_blob) == 32 * D
+    sv = ScalarVec.from_ints([int(s) % _L for s in dyn_s])
+    dpad = max(256, 1 << max(D - 1, 1).bit_length())
+    dyn_sc = np.zeros((dpad, 8), np.uint32)
+    dyn_sc[:D] = np.frombuffer(sv.buf, np.uint32).reshape(D, 8)
+    # zero-padded encodings decode to the identity with zero scalars
+    enc = np.zeros((8, dpad), np.uint32)
+    enc[:, :D] = np.frombuffer(dyn_enc_blob, np.uint32).reshape(D, 8).T
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = txbatch_msm_check(
+        sw, jnp.asarray(enc), jnp.asarray(static_sc), jnp.asarray(dyn_sc),
+        13, interpret)
+    return bool(int(out))
 
 
 def fused_verify_tx_batch(
@@ -234,6 +306,7 @@ def fused_verify_tx_batch(
     # spawn pool); workers weight and accumulate their chunk locally
     procs = int(os.environ.get("ZKVM_HOST_PROCS", "0")) or (
         min(4, os.cpu_count() or 1) if len(txs) >= 16 else 1)
+    device = _device_mode()
     txs_bytes = [tx.to_bytes() for tx in txs]
     if procs > 1:
         pool = _get_pool(procs)
@@ -242,9 +315,9 @@ def fused_verify_tx_batch(
         order = [list(range(len(txs)))[i::nchunk] for i in range(nchunk)]
         results = list(pool.map(
             _chunk_precompute_star,
-            [(c, caps, entropy) for c in chunks if c]))
+            [(c, caps, entropy, device) for c in chunks if c]))
     else:
-        results = [_chunk_precompute(txs_bytes, caps, entropy)]
+        results = [_chunk_precompute(txs_bytes, caps, entropy, device)]
         order = [list(range(len(txs)))]
 
     from ..native import ScalarVec
@@ -254,6 +327,7 @@ def fused_verify_tx_batch(
     g_acc = h_acc = None
     dyn_s: list[int] = []
     dyn_eps: list[tuple] = []
+    dyn_enc: list[bytes] = []
     for (vtxs, hd, ga_buf, ha_buf, ds, dps), idxs in zip(
             results, order, strict=False):
         for vtx, i in zip(vtxs, idxs, strict=True):
@@ -276,25 +350,39 @@ def fused_verify_tx_batch(
             g_acc = g_acc.add(ga)
             h_acc = h_acc.add(ha)
         dyn_s.extend(ds)
-        dyn_eps.extend(dps)
+        if device:
+            dyn_enc.append(dps)
+        else:
+            dyn_eps.extend(dps)
 
-    pc = PedersenGens()
-    maxpad = len(g_acc) if g_acc is not None else 0
-    gens = bp_gens.share(0)
-    static_acc = ([v % L for v in head_acc]
-                  + (g_acc.to_ints() if g_acc is not None else [])
-                  + (h_acc.to_ints() if h_acc is not None else []))
-    static_pts = [pc.B_blinding, pc.B] + gens.G(maxpad) + gens.H(maxpad)
-    scalars, points = [], []
-    for s, p in zip(static_acc, static_pts, strict=True):
-        if s:
-            scalars.append(s)
-            points.append(p)
-    scalars += dyn_s
-    points += [RistrettoPoint(ep) for ep in dyn_eps]
+    if device:
+        static_buf = (
+            (head_acc[0] % L).to_bytes(32, "little")
+            + (head_acc[1] % L).to_bytes(32, "little")
+            + (g_acc.buf if g_acc is not None else b"")
+            + (h_acc.buf if h_acc is not None else b""))
+        batch_ok = _fused_device_check(
+            static_buf, dyn_s, b"".join(dyn_enc), bp_gens)
+    else:
+        pc = PedersenGens()
+        maxpad = len(g_acc) if g_acc is not None else 0
+        gens = bp_gens.share(0)
+        static_acc = ([v % L for v in head_acc]
+                      + (g_acc.to_ints() if g_acc is not None else [])
+                      + (h_acc.to_ints() if h_acc is not None else []))
+        static_pts = ([pc.B_blinding, pc.B]
+                      + gens.G(maxpad) + gens.H(maxpad))
+        scalars, points = [], []
+        for s, p in zip(static_acc, static_pts, strict=True):
+            if s:
+                scalars.append(s)
+                points.append(p)
+        scalars += dyn_s
+        points += [RistrettoPoint(ep) for ep in dyn_eps]
+        batch_ok = get_engine().msm_is_identity(scalars, points)
 
-    eng = get_engine()
-    if not eng.msm_is_identity(scalars, points):
+    if not batch_ok:
+        eng = get_engine()
         if attribute_failures:
             # slow path, only on failure: name the failing tx
             for i, tx in enumerate(txs):

@@ -185,6 +185,25 @@ class InnerProductProof:
         u_sq, u_inv_sq, s_vec = self.scalars_from_challenges(challenges)
         return u_sq, u_inv_sq, s_vec.to_ints()
 
+    def verification_scalars_vec(
+        self, n: int, transcript: ProofTranscript
+    ):
+        """verification_scalars with the s-vector kept as a packed native
+        ScalarVec (no to_ints/from_ints round trip — the R1CS verifier
+        feeds it straight back into ScalarVec algebra)."""
+        lg_n = len(self.L_vec)
+        if lg_n >= 32:
+            raise FormatError("inner product proof too large")
+        if n != (1 << lg_n):
+            raise FormatError(f"n={n} does not match lg_n={lg_n}")
+        transcript.innerproduct_domain_sep(n)
+        challenges = []
+        for Lb, Rb in zip(self.L_vec, self.R_vec):
+            transcript.validate_and_append_point(b"L", Lb)
+            transcript.validate_and_append_point(b"R", Rb)
+            challenges.append(transcript.challenge_scalar(b"u"))
+        return self.scalars_from_challenges(challenges)
+
     def scalars_from_challenges(self, challenges: list[int]):
         """The transcript-free tail of verification_scalars: u^2 / u^-2 and
         the s-vector (as a packed ScalarVec — stays packed all the way into

@@ -118,13 +118,20 @@ class Verifier:
                 [bb, bs] + g_v.to_ints() + h_v.to_ints(), padded_n)
 
     def verification_job_split_vec(
-        self, proof: R1CSProof, bp_gens: BulletproofGens, pc_gens: PedersenGens
+        self, proof: R1CSProof, bp_gens: BulletproofGens,
+        pc_gens: PedersenGens, decompress_dyn: bool = True,
     ):
         """verification_job_split with the G/H static-column scalars kept
         as native ScalarVecs: (dyn_scalars, dyn_points, bb, bs, g_vec,
         h_vec, padded_n).  Batch verifiers (parallel/tx_batch.py) weight
         and accumulate the vectors with native AXPY passes instead of
-        padded_n-long Python loops (~0.8 ms/tx of the round-4 replay)."""
+        padded_n-long Python loops (~0.8 ms/tx of the round-4 replay).
+
+        decompress_dyn=False returns dyn_points as the raw 32-byte
+        COMPRESSED encodings (skipping the host decompress entirely) for
+        callers that decode on device (kernels/pallas_decompress.py) —
+        the device decode validates the encodings, so invalid points
+        reject there instead of here."""
         ts = self.transcript
         ts.append_u64(b"m", self.num_v)
 
@@ -188,7 +195,8 @@ class Verifier:
         # verifier-local weight combining the t-check and P-check
         c = ts.build_rng().finalize(b"\x00" * 32).random_scalar()
 
-        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, ts)
+        u_sq, u_inv_sq, sv_s = proof.ipp_proof.verification_scalars_vec(
+            padded_n, ts)
         a, b = proof.ipp_proof.a % L, proof.ipp_proof.b % L
 
         # bulk vector math through the native ScalarVec (scalarvec.cpp):
@@ -203,7 +211,6 @@ class Verifier:
             sv_wL = ScalarVec.from_ints(wL + [0] * pad)
             sv_wO = ScalarVec.from_ints(wO + [0] * pad)
             sv_wR = ScalarVec.from_ints(wR + [0] * pad)
-        sv_s = ScalarVec.from_ints(s)
         # constant-shaped vectors by byte repetition (from_ints was
         # ~0.3 ms/tx of the batched tx replay)
         one_b = (1).to_bytes(32, "little")
@@ -243,11 +250,14 @@ class Verifier:
             + [c * xx % L * wVj % L for wVj in wV]          # V_j
             + list(u_sq) + list(u_inv_sq)                   # L_vec, R_vec
         )
-        from ...oracle.ristretto import decompress_many
-        dyn_points = decompress_many(
-            list(proof.points()) + list(self.V)
-            + list(proof.ipp_proof.L_vec) + list(proof.ipp_proof.R_vec)
-        )
+        compressed = (list(proof.points()) + list(self.V)
+                      + list(proof.ipp_proof.L_vec)
+                      + list(proof.ipp_proof.R_vec))
+        if decompress_dyn:
+            from ...oracle.ristretto import decompress_many
+            dyn_points = decompress_many(compressed)
+        else:
+            dyn_points = compressed
         # static head + G/H column vectors: [B_blinding, B] + G + H —
         # batch verifiers accumulate these per-column across proofs
         bb = (-proof.e_blinding - c * proof.t_x_blinding) % L

@@ -89,12 +89,16 @@ def precompute_tx_split(tx: Tx, bp_gens: BulletproofGens):
     return verified, point_ops, split
 
 
-def precompute_tx_split_vec(tx: Tx, bp_gens: BulletproofGens):
+def precompute_tx_split_vec(tx: Tx, bp_gens: BulletproofGens,
+                            decompress_dyn: bool = True):
     """precompute_tx_split with the static G/H column scalars kept as
     native ScalarVecs (the tx-batch worker form): (VerifiedTx, point_ops,
-    (dyn_scalars, dyn_points, bb, bs, g_vec, h_vec, padded_n))."""
+    (dyn_scalars, dyn_points, bb, bs, g_vec, h_vec, padded_n)).  With
+    decompress_dyn=False the dyn points stay as raw 32-byte encodings
+    for device-side decode."""
     verified, point_ops, cs, proof, pc_gens = _replay_tx(tx, bp_gens)
-    split = cs.verification_job_split_vec(proof, bp_gens, pc_gens)
+    split = cs.verification_job_split_vec(
+        proof, bp_gens, pc_gens, decompress_dyn=decompress_dyn)
     return verified, point_ops, split
 
 
