@@ -260,7 +260,10 @@ def _fused_device_check(static_buf: bytes, dyn_s: list[int],
     D = len(dyn_s)
     assert len(dyn_enc_blob) == 32 * D
     sv = ScalarVec.from_ints([int(s) % _L for s in dyn_s])
-    dpad = max(256, 1 << max(D - 1, 1).bit_length())
+    # pad D to a 1024 multiple (256 floor for small batches): few compile
+    # buckets without the up-to-2x decompress waste a power-of-two pad
+    # would cost at D ~ 8-9k
+    dpad = 256 if D <= 256 else -(-D // 1024) * 1024
     dyn_sc = np.zeros((dpad, 8), np.uint32)
     dyn_sc[:D] = np.frombuffer(sv.buf, np.uint32).reshape(D, 8)
     # zero-padded encodings decode to the identity with zero scalars
@@ -361,9 +364,20 @@ def fused_verify_tx_batch(
             + (head_acc[1] % L).to_bytes(32, "little")
             + (g_acc.buf if g_acc is not None else b"")
             + (h_acc.buf if h_acc is not None else b""))
-        batch_ok = _fused_device_check(
-            static_buf, dyn_s, b"".join(dyn_enc), bp_gens)
-    else:
+        try:
+            batch_ok = _fused_device_check(
+                static_buf, dyn_s, b"".join(dyn_enc), bp_gens)
+        except Exception:
+            # device graph unavailable (compile/lowering/tunnel): decode
+            # the encodings on host and fall through to the engine path
+            from ..oracle.ristretto import decompress_many
+            enc_blob = b"".join(dyn_enc)
+            pts = decompress_many(
+                [enc_blob[32 * i: 32 * i + 32]
+                 for i in range(len(enc_blob) // 32)])
+            dyn_eps = [p.ep for p in pts]
+            device = False
+    if not device:
         pc = PedersenGens()
         maxpad = len(g_acc) if g_acc is not None else 0
         gens = bp_gens.share(0)
