@@ -386,3 +386,84 @@ def test_seq_pipeline_words_path(wbits):
     assert res.returncode == 0 and "SEQ-WORDS-OK" in res.stdout, (
         res.stderr[-2000:]
     )
+
+
+# ------------------------------------------------ affine-gather helpers
+def test_mul_lm_parity():
+    """XLA-level limb-major mul vs oracle field mul on random elements."""
+    from zkvm_tpu.kernels.limbs import int_to_limbs, limbs_to_int
+    r = random.Random(5)
+    xs = [r.randrange(P) for _ in range(16)]
+    ys = [r.randrange(P) for _ in range(16)]
+    a = jnp.stack([jnp.asarray(int_to_limbs(x)) for x in xs], axis=1)
+    b = jnp.stack([jnp.asarray(int_to_limbs(y)) for y in ys], axis=1)
+    out = np.asarray(pm.mul_lm(a, b))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        assert limbs_to_int(out[:, i]) % P == x * y % P
+
+
+def test_batch_zinv_lm_parity():
+    from zkvm_tpu.kernels.limbs import int_to_limbs, limbs_to_int
+    r = random.Random(6)
+    zs = [r.randrange(1, P) for _ in range(24)]
+    z = jnp.stack([jnp.asarray(int_to_limbs(x)) for x in zs], axis=1)
+    out = np.asarray(pm.batch_zinv_lm(z))
+    for i, x in enumerate(zs):
+        assert limbs_to_int(out[:, i]) * x % P == 1
+
+
+def test_to_affine_words_parity():
+    """Affine encodings must round-trip to X/Z, Y/Z of the input points."""
+    from zkvm_tpu.kernels.limbs import limbs_to_int
+    eps = _rand_points(8, seed=9)
+    pts = pm.pack_points_lm(eps)
+    words = np.asarray(pm.to_affine_words(pts))  # (16, n) int32 bitcast
+    decoded = np.asarray(pm.decode_words_lm(
+        jnp.asarray(words[:8].view(np.uint32))))
+    decoded_y = np.asarray(pm.decode_words_lm(
+        jnp.asarray(words[8:].view(np.uint32))))
+    for i, (X, Y, Z, _T) in enumerate(eps):
+        zinv = pow(Z, P - 2, P)
+        assert limbs_to_int(decoded[:, i]) % P == X * zinv % P
+        assert limbs_to_int(decoded_y[:, i]) % P == Y * zinv % P
+
+
+@pytest.mark.heavy
+def test_window_totals_affine_parity(monkeypatch):
+    """Full pipeline with the affine gather (opt-in env) vs the oracle,
+    interpret mode."""
+    import subprocess
+    import sys
+    code = """
+import os, random, sys
+os.environ["ZKVM_MSM_AFFINE"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %r)
+import jax.numpy as jnp
+from zkvm_tpu.constants import L, P
+from zkvm_tpu.kernels import msm as jmsm
+from zkvm_tpu.kernels import pallas_msm as pm
+from zkvm_tpu.oracle import ristretto
+from zkvm_tpu.oracle.edwards import scalar_mul, point_add, IDENTITY
+r = random.Random(3)
+n, wbits = 4096, 8
+eps = [ristretto.RistrettoPoint.from_uniform_bytes(
+    r.getrandbits(512).to_bytes(64, "little")).ep for _ in range(64)]
+pts0 = pm.pack_points_lm(eps)
+reps = n // 64
+pts = pm.PointBatch(*(jnp.tile(c, (1, reps)) for c in pts0))
+scalars = [r.randrange(1 << 16) for _ in range(n)]
+digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits, 16))
+got = pm.combine_window_totals(
+    pm.window_totals_packed(pts, digits, wbits, True), wbits)
+want = IDENTITY
+for i, s in enumerate(scalars):
+    want = point_add(want, scalar_mul(s, eps[i %% 64]))
+assert (got[0] * want[2] - want[0] * got[2]) %% P == 0
+assert (got[1] * want[2] - want[1] * got[2]) %% P == 0
+print("OK")
+""" % (str(__import__("pathlib").Path(__file__).resolve().parents[1]),)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=1500)
+    assert "OK" in out.stdout, out.stderr[-2000:]
