@@ -1077,6 +1077,13 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
         # instead of four (A/B'd on-chip 2026-08-18: 286 vs 322 ms device
         # at the nb=4096 batch-verify shape; ~even at nb=1024)
         stacked = jnp.concatenate([points.x, points.y, points.z, points.t])
+    # ZKVM_MSM_ROWGATHER=1: gather CONTIGUOUS (80,) rows of a row-major
+    # copy by flat index instead of strided columns (bench/stage_probe8
+    # A/B — the column gather is bound ~22 ns per gathered position)
+    use_rowgather = (not use_wgather and not use_affine
+                     and _os.environ.get("ZKVM_MSM_ROWGATHER") == "1")
+    if use_rowgather:
+        rows80 = jax.lax.optimization_barrier(stacked.T)   # (n, 80)
 
     def group_totals(dT_g: jnp.ndarray) -> PointBatch:
         nwg = dT_g.shape[0]
@@ -1120,6 +1127,15 @@ def _bucket_totals_seq(points: PointBatch, digits: jnp.ndarray, wbits: int,
             gw = jnp.transpose(g.reshape(nwg, 32, M, K), (1, 0, 3, 2))
             flags = start_l | (lr(sorted_sign).astype(jnp.int32) << 1)
             scanned = _seq_segmented_scan_words(gw, flags[None], interpret)
+        elif use_rowgather:
+            flat = lr(perm).reshape(-1)
+            g = jnp.take(rows80, flat, axis=0)     # (nwg*K*M, 80) rows
+            g = jnp.transpose(
+                g.reshape(nwg, K, M, 4 * NLIMBS), (3, 0, 1, 2))
+            pts = PointBatch(g[:NLIMBS], g[NLIMBS:2 * NLIMBS],
+                             g[2 * NLIMBS:3 * NLIMBS], g[3 * NLIMBS:])
+            pts = cneg_lm(pts, lr(sorted_sign))
+            scanned = _seq_segmented_scan(pts, start_l[None], interpret)
         else:
             perm_l = lr(perm)
             g = jnp.take(stacked, perm_l, axis=1)  # (4*NLIMBS, nwg, K, M)
