@@ -97,6 +97,33 @@ def main():
 
     timed("g4 row take 16-wide + relayout", g4, rows16, flat)
 
+    # decisive: full window_totals with the row gather vs the column
+    # gather (fresh closures per combo so the jit cache re-traces)
+    import random as _random
+
+    from zkvm_tpu.constants import L
+    from zkvm_tpu.kernels import msm as jmsm
+    from zkvm_tpu.kernels import pallas_msm as pm
+    from zkvm_tpu.oracle.ristretto import RistrettoPoint
+
+    r = _random.Random(42)
+    base = [RistrettoPoint.from_uniform_bytes(
+        r.getrandbits(512).to_bytes(64, "little")).ep for _ in range(256)]
+    pb = pm.pack_points_lm(base)
+    reps = n // 256
+    pts = pm.PointBatch(*(jnp.tile(c, (1, reps)) for c in pb))
+    scalars = [r.randrange(L) for _ in range(n)]
+    digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, 13))
+    for mode in ("0", "1"):
+        os.environ["ZKVM_MSM_ROWGATHER"] = mode
+
+        def wt(px, py, pz, pt, d):
+            return pm._bucket_totals_seq(
+                pm.PointBatch(px, py, pz, pt), d, 13, False)
+
+        timed(f"w  window_totals rowgather={mode}",
+              wt, pts.x, pts.y, pts.z, pts.t, digits)
+
 
 if __name__ == "__main__":
     main()
