@@ -58,3 +58,43 @@ def test_r1cs_2e15_multipliers_prove_verify():
         range_proof_gadget(verifier2, var, BITS, None)
     with pytest.raises(Exception):
         verifier2.verify(R1CSProof.from_bytes(bytes(bad)), pc, bp)
+
+
+@pytest.mark.heavy
+def test_r1cs_device_split_verify(monkeypatch):
+    """Single-proof mega-check through the fused split device route
+    (engine.verify_r1cs_split, interpret on CPU): accepts a valid proof,
+    rejects a corrupted one.  Upstream seam: r1cs/verifier.rs one-MSM
+    verify [U]."""
+    from zkvm_tpu.gadgets import Value, allocate_value, cloak
+    from zkvm_tpu.kernels.engine import JaxEngine
+    from zkvm_tpu.proofs.engine import set_engine
+    from zkvm_tpu.proofs.errors import VerificationError
+
+    monkeypatch.setenv("ZKVM_R1CS_DEVICE", "1")
+    pc, bp = PedersenGens(), BulletproofGens(4096)
+    ins = [Value(10, 1), Value(20, 1)]
+    outs = [Value(15, 1), Value(15, 1)]
+    prover = Prover(pc, ProofTranscript(b"c"))
+    in_a = [allocate_value(prover, v) for v in ins]
+    out_a = [allocate_value(prover, v) for v in outs]
+    cloak(prover, in_a, out_a, range_bits=8)
+    proof = prover.prove(bp)
+
+    old = set_engine(JaxEngine())
+    try:
+        verifier = Verifier(ProofTranscript(b"c"))
+        in_a = [allocate_value(verifier, None) for _ in ins]
+        out_a = [allocate_value(verifier, None) for _ in outs]
+        cloak(verifier, in_a, out_a, range_bits=8)
+        verifier.verify(proof, pc, bp)
+
+        proof.t_x = (proof.t_x + 1) % (2**252)
+        verifier2 = Verifier(ProofTranscript(b"c"))
+        in_a = [allocate_value(verifier2, None) for _ in ins]
+        out_a = [allocate_value(verifier2, None) for _ in outs]
+        cloak(verifier2, in_a, out_a, range_bits=8)
+        with pytest.raises(VerificationError):
+            verifier2.verify(proof, pc, bp)
+    finally:
+        set_engine(old)

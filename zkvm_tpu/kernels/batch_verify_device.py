@@ -426,6 +426,39 @@ def txbatch_msm_check(static_words: jnp.ndarray,    # (4, 8, S) u32 resident
     return (ok & ident_ok).astype(jnp.int32)
 
 
+def fused_split_check(static_buf: bytes, dyn_s, dyn_enc_blob: bytes,
+                      bp_gens, pc_gens) -> bool:
+    """One fused device dispatch for a split mega-check: static scalars
+    arrive as packed ScalarVec bytes verbatim over the [B_blinding, B] +
+    G(maxpad) + H(maxpad) resident columns, dynamic points as raw 32-byte
+    encodings (device decode), dynamic scalars via one native pack.  The
+    dynamic count pads to a 1024-multiple bucket (256 floor) so compiles
+    cache.  Callers: parallel/tx_batch.py (whole-batch RLC) and the R1CS
+    verifier's single-proof device route (proofs/r1cs/verifier.py)."""
+    from ..constants import L as _L
+    from ..native import ScalarVec
+
+    S = len(static_buf) // 32
+    maxpad = (S - 2) // 2
+    sw = static_gens_words(bp_gens, pc_gens, maxpad, 1)
+    static_sc = np.frombuffer(static_buf, np.uint32).reshape(S, 8)
+    D = len(dyn_s)
+    assert len(dyn_enc_blob) == 32 * D
+    sv = (dyn_s if isinstance(dyn_s, ScalarVec)
+          else ScalarVec.from_ints([int(s) % _L for s in dyn_s]))
+    dpad = 256 if D <= 256 else -(-D // 1024) * 1024
+    dyn_sc = np.zeros((dpad, 8), np.uint32)
+    dyn_sc[:D] = np.frombuffer(sv.buf, np.uint32).reshape(D, 8)
+    # zero-padded encodings decode to the identity with zero scalars
+    enc = np.zeros((8, dpad), np.uint32)
+    enc[:, :D] = np.frombuffer(dyn_enc_blob, np.uint32).reshape(D, 8).T
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = txbatch_msm_check(
+        sw, jnp.asarray(enc), jnp.asarray(static_sc), jnp.asarray(dyn_sc),
+        13, interpret)
+    return bool(int(out))
+
+
 def _use_dev_combine(interpret: bool) -> bool:
     """Device combine default: on for real-device runs, host combine in
     interpret mode (the host path stays the ground truth the tests pin)."""

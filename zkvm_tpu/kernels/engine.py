@@ -228,6 +228,24 @@ class JaxEngine(Engine):
         )
         return bool(int(pmsm.combine_and_check_device(totals, wbits)))
 
+    def verify_r1cs_split(self, bb: int, bs: int, g_v, h_v,
+                          dyn_s, dyn_enc: list[bytes], bp_gens,
+                          pc_gens) -> bool:
+        """Single-proof R1CS mega-check through the fused split device
+        path: the G/H column scalars stay as packed ScalarVecs over the
+        RESIDENT generator columns and the ~40 dyn points upload as raw
+        encodings — replacing msm_is_identity's per-point Python packing
+        of the 2·padded_n generator points (~1.3 s at 2^15 multipliers,
+        campaign log 2026-08-20).  proofs/r1cs/verifier.py dispatches
+        here when the engine exposes this method."""
+        from .batch_verify_device import fused_split_check
+
+        static_buf = ((bb % L).to_bytes(32, "little")
+                      + (bs % L).to_bytes(32, "little")
+                      + g_v.buf + h_v.buf)
+        return fused_split_check(static_buf, dyn_s, b"".join(dyn_enc),
+                                 bp_gens, pc_gens)
+
     def fold_points(self, s1, s2, P, Q):
         # same crossover reasoning as msm: the native threaded fold clears
         # the prover's per-round G/H folds far below one tunnel round trip

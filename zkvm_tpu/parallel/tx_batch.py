@@ -239,41 +239,9 @@ def _device_mode() -> bool:
 
 def _fused_device_check(static_buf: bytes, dyn_s: list[int],
                         dyn_enc_blob: bytes, bp_gens) -> bool:
-    """One fused device dispatch for the whole tx batch: static scalars
-    arrive as the ScalarVec accumulator bytes verbatim, dynamic points as
-    raw 32-byte encodings (device decode), dynamic scalars via one native
-    pack.  D pads to a power of two so the compile caches per bucket."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ..constants import L as _L
-    from ..kernels.batch_verify_device import (static_gens_words,
-                                               txbatch_msm_check)
-    from ..native import ScalarVec
-
-    pc = PedersenGens()
-    S = len(static_buf) // 32
-    maxpad = (S - 2) // 2
-    sw = static_gens_words(bp_gens, pc, maxpad, 1)
-    static_sc = np.frombuffer(static_buf, np.uint32).reshape(S, 8)
-    D = len(dyn_s)
-    assert len(dyn_enc_blob) == 32 * D
-    sv = ScalarVec.from_ints([int(s) % _L for s in dyn_s])
-    # pad D to a 1024 multiple (256 floor for small batches): few compile
-    # buckets without the up-to-2x decompress waste a power-of-two pad
-    # would cost at D ~ 8-9k
-    dpad = 256 if D <= 256 else -(-D // 1024) * 1024
-    dyn_sc = np.zeros((dpad, 8), np.uint32)
-    dyn_sc[:D] = np.frombuffer(sv.buf, np.uint32).reshape(D, 8)
-    # zero-padded encodings decode to the identity with zero scalars
-    enc = np.zeros((8, dpad), np.uint32)
-    enc[:, :D] = np.frombuffer(dyn_enc_blob, np.uint32).reshape(D, 8).T
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    out = txbatch_msm_check(
-        sw, jnp.asarray(enc), jnp.asarray(static_sc), jnp.asarray(dyn_sc),
-        13, interpret)
-    return bool(int(out))
+    from ..kernels.batch_verify_device import fused_split_check
+    return fused_split_check(static_buf, dyn_s, dyn_enc_blob, bp_gens,
+                             PedersenGens())
 
 
 def fused_verify_tx_batch(

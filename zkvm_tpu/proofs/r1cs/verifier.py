@@ -284,6 +284,45 @@ class Verifier:
     def verify(
         self, proof: R1CSProof, pc_gens: PedersenGens, bp_gens: BulletproofGens
     ) -> None:
+        eng = get_engine()
+        fast = getattr(eng, "verify_r1cs_split", None)
+        if fast is not None:
+            # only worth it on a real chip (interpret-mode decompress is
+            # minutes-slow); ZKVM_R1CS_DEVICE=1/0 overrides for parity
+            # tests / A/Bs
+            import os as _os
+            env = _os.environ.get("ZKVM_R1CS_DEVICE")
+            if env in ("0", "1"):
+                use_fast = env == "1"
+            else:
+                import jax
+                use_fast = jax.default_backend() in ("tpu", "axon")
+            if not use_fast:
+                fast = None
+        if fast is not None:
+            # fused split device path: resident generator columns + raw
+            # dyn encodings, one dispatch (kernels/batch_verify_device.
+            # fused_split_check); the encodings are validated on device
+            dyn_s, dyn_enc, bb, bs, g_v, h_v, _padded_n = \
+                self.verification_job_split_vec(
+                    proof, bp_gens, pc_gens, decompress_dyn=False)
+            try:
+                ok = fast(bb, bs, g_v, h_v, dyn_s, dyn_enc,
+                          bp_gens, pc_gens)
+            except Exception:
+                # device graph unavailable: host decompress + engine MSM
+                from ...oracle.ristretto import decompress_many
+                gens = bp_gens.share(0)
+                maxpad = len(g_v)
+                scalars = (dyn_s + [bb, bs]
+                           + g_v.to_ints() + h_v.to_ints())
+                points = (decompress_many(dyn_enc)
+                          + [pc_gens.B_blinding, pc_gens.B]
+                          + gens.G(maxpad) + gens.H(maxpad))
+                ok = eng.msm_is_identity(scalars, points)
+            if not ok:
+                raise VerificationError("R1CS proof verification failed")
+            return
         scalars, points = self.verification_job(proof, bp_gens, pc_gens)
-        if not get_engine().msm_is_identity(scalars, points):
+        if not eng.msm_is_identity(scalars, points):
             raise VerificationError("R1CS proof verification failed")
