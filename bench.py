@@ -642,9 +642,12 @@ def _child_r1cs_scale():
     # device-routed prove (ipp.py dispatches the IPP argument through
     # kernels/ipp_device.py past JaxEngine.ipp_device_min_n): rebuild the
     # circuit and prove again with the engine on-chip — reported as a
-    # labeled sibling, host prove stays the headline prove figure
+    # labeled sibling, host prove stays the headline prove figure.
+    # OFF by default since the 2026-08-20 capture measured it at 219 s
+    # (the IPP's per-round transcript sync pays the tunnel round trip
+    # 16 times): BENCH_R1CS_DEVPROVE=1 re-enables.
     prove_device_ms = None
-    if platform not in ("cpu",):
+    if platform not in ("cpu",) and os.environ.get("BENCH_R1CS_DEVPROVE"):
         r2 = random.Random(3)
         prover2 = Prover(pc, ProofTranscript(b"r1cs-scale"))
         for _ in range(ng):
