@@ -445,7 +445,7 @@ from zkvm_tpu.constants import L, P
 from zkvm_tpu.kernels import msm as jmsm
 from zkvm_tpu.kernels import pallas_msm as pm
 from zkvm_tpu.oracle import ristretto
-from zkvm_tpu.oracle.edwards import scalar_mul, point_add, IDENTITY
+from zkvm_tpu.oracle.edwards import scalar_mul, add as point_add, IDENTITY
 r = random.Random(3)
 n, wbits = 4096, 8
 eps = [ristretto.RistrettoPoint.from_uniform_bytes(
@@ -453,8 +453,8 @@ eps = [ristretto.RistrettoPoint.from_uniform_bytes(
 pts0 = pm.pack_points_lm(eps)
 reps = n // 64
 pts = pm.PointBatch(*(jnp.tile(c, (1, reps)) for c in pts0))
-scalars = [r.randrange(1 << 16) for _ in range(n)]
-digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits, 16))
+scalars = [r.randrange(1 << 15) for _ in range(n)]
+digits = jnp.asarray(jmsm.signed_digits_radix_2w(scalars, wbits, 24))
 got = pm.combine_window_totals(
     pm.window_totals_packed(pts, digits, wbits, True), wbits)
 want = IDENTITY
